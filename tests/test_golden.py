@@ -1,0 +1,67 @@
+"""Golden-image tests vs the independent native C++ renderer.
+
+Policy (measured, see commit history): at bounce depth 1 the JAX and native
+renders agree EXACTLY (bit-identical packed pixels).  At full depth 50 the
+rgbbox mirror cascade chaotically amplifies f32 ulp differences (every
+reference implementation pair disagrees the same way, SURVEY.md §2.3), so
+full-depth goldens use a structural tolerance: bounded mismatching-pixel
+fraction and bounded mean channel delta.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from raytracers_tpu import camera, scenes
+from raytracers_tpu.image import pixel_to_rgb, read_ppm
+from raytracers_tpu.render.bruteforce import make_closest_hit
+from raytracers_tpu.render.tracer import render_packed
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _render(scene_name, w, h, depth):
+    sc = scenes.by_name(scene_name)
+    cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, w / h)
+    ch = make_closest_hit(sc.spheres, "precise")
+    return np.asarray(render_packed(ch, sc.spheres, cam, w, h,
+                                    max_depth=depth, chunk=5000))
+
+
+def _golden(name):
+    path = os.path.join(GOLDEN, name)
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} missing (run tools/make_goldens.py)")
+    return read_ppm(path)
+
+
+def _structural_match(img, ref, max_mismatch, max_mean_delta):
+    a = pixel_to_rgb(img).astype(np.int32)
+    b = pixel_to_rgb(ref).astype(np.int32)
+    mismatch = (img != ref).mean()
+    mean_delta = np.abs(a - b).mean()
+    assert mismatch <= max_mismatch, (mismatch, max_mismatch)
+    assert mean_delta <= max_mean_delta, (mean_delta, max_mean_delta)
+
+
+def test_rgbbox_depth1_exact():
+    img = _render("rgbbox", 200, 200, 1)
+    np.testing.assert_array_equal(img, _golden("rgbbox_200_d1.ppm"))
+
+
+def test_rgbbox_depth2_near_exact():
+    img = _render("rgbbox", 200, 200, 2)
+    ref = _golden("rgbbox_200_d2.ppm")
+    _structural_match(img, ref, max_mismatch=0.01, max_mean_delta=1.0)
+
+
+def test_rgbbox_full_depth_structural():
+    img = _render("rgbbox", 200, 200, 50)
+    ref = _golden("rgbbox_200.ppm")
+    _structural_match(img, ref, max_mismatch=0.15, max_mean_delta=6.0)
+
+
+def test_irreg_full_depth_structural():
+    img = _render("irreg", 200, 200, 50)
+    ref = _golden("irreg_200.ppm")
+    _structural_match(img, ref, max_mismatch=0.02, max_mean_delta=0.5)
