@@ -1,0 +1,163 @@
+"""LBVH construction: Morton sort → Karras tree → levelwise AABB refit.
+
+TPU-first reformulation of the reference pipeline (futhark/bvh.fut:30-59):
+
+* the hand-rolled 2-bit radix sort becomes ``jnp.argsort`` (XLA's sort is
+  the idiomatic primitive — SURVEY.md §7.3),
+* the radix tree is the parallel Karras build (radix_tree.py),
+* the AABB refit is the reference's levelwise data-parallel sweep, but sized
+  by the *measured* tree depth (pointer doubling) instead of the balanced
+  ⌈log₂n⌉+2 assumption,
+* NEW vs the reference: **clustered leaves** — each BVH leaf holds
+  ``leaf_size`` consecutive Morton-sorted spheres.  Leaf intersection then
+  becomes dense regular vector work (the shape TPUs want), and the tree
+  shrinks by leaf_size×, cutting divergent traversal steps.  leaf_size=1
+  reproduces the reference structure exactly.
+* skip links ("threaded BVH"): every node gets a miss-pointer so traversal
+  needs no stack AND no parent backtracking — each step is one node visit,
+  where the reference's parent-pointer scheme (futhark/bvh.fut:61-84)
+  revisits every inner node up to twice.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import Spheres, sphere_aabb
+from ..vec import Aabb, centre
+from .morton import morton_codes
+from .radix_tree import RadixTree, build_radix_tree, node_depths
+
+
+class Bvh(NamedTuple):
+    """Flat SoA LBVH over clustered sphere leaves.
+
+    Shapes: C clusters (leaves), K = leaf_size spheres per cluster,
+    M = C*K padded sphere count.  Extended node ids: inner i ∈ [0, C-1),
+    leaf c ∈ [C-1, 2C-1).  ``-1`` is the traversal-done sentinel.
+    """
+    spheres: Spheres            # (M,…) Morton-sorted, radius-0 padded
+    order: jnp.ndarray          # (M,) original sphere index, -1 for padding
+    left: jnp.ndarray           # (C-1,) encoded child ids
+    right: jnp.ndarray          # (C-1,)
+    node_min: jnp.ndarray       # (C-1, 3) inner AABBs
+    node_max: jnp.ndarray       # (C-1, 3)
+    leaf_min: jnp.ndarray       # (C, 3) cluster AABBs
+    leaf_max: jnp.ndarray       # (C, 3)
+    skip: jnp.ndarray           # (2C-1,) miss link per extended node id
+    parent: jnp.ndarray         # (C-1,) parent inner id (root: -1)
+    leaf_parent: jnp.ndarray    # (C,) parent inner id
+
+    @property
+    def n_leaves(self) -> int:
+        return self.leaf_min.shape[0]
+
+    @property
+    def n_inner(self) -> int:
+        return self.left.shape[0]
+
+    @property
+    def leaf_size(self) -> int:
+        return self.spheres.center.shape[0] // self.n_leaves
+
+
+def _pad_spheres(spheres: Spheres, order, m: int):
+    """Pad sorted spheres to m entries with radius-0 never-hit spheres
+    co-located with the last real sphere (keeps cluster AABBs tight)."""
+    n = spheres.center.shape[0]
+    pad = m - n
+    if pad == 0:
+        return spheres, order
+    last_c = spheres.center[-1:]
+    center = jnp.concatenate(
+        [spheres.center, jnp.repeat(last_c, pad, axis=0)], axis=0)
+    radius = jnp.concatenate(
+        [spheres.radius, jnp.zeros((pad,), spheres.radius.dtype)], axis=0)
+    color = jnp.concatenate(
+        [spheres.color, jnp.zeros((pad, 3), spheres.color.dtype)], axis=0)
+    order = jnp.concatenate([order, jnp.full((pad,), -1, jnp.int32)], axis=0)
+    return Spheres(center, radius, color), order
+
+
+def _refit(tree: RadixTree, leaf_min, leaf_max, sweeps):
+    """Levelwise AABB refit (futhark/bvh.fut:47-58): each sweep recomputes
+    every inner AABB from its children's current AABBs; after ``sweeps``
+    (= max inner depth + 1) passes all nodes are exact."""
+    n_inner = tree.n_inner
+
+    def sweep(state):
+        i, node_min, node_max = state
+        ext_min = jnp.concatenate([node_min, leaf_min], axis=0)
+        ext_max = jnp.concatenate([node_max, leaf_max], axis=0)
+        new_min = jnp.minimum(ext_min[tree.left], ext_min[tree.right])
+        new_max = jnp.maximum(ext_max[tree.left], ext_max[tree.right])
+        return i + 1, new_min, new_max
+
+    init = (jnp.int32(0), jnp.zeros((n_inner, 3), leaf_min.dtype),
+            jnp.zeros((n_inner, 3), leaf_max.dtype))
+    _, node_min, node_max = jax.lax.while_loop(
+        lambda s: s[0] < sweeps, sweep, init)
+    return node_min, node_max
+
+
+def _skip_links(tree: RadixTree, sweeps):
+    """Threaded-BVH miss links, computed by levelwise propagation of
+      miss(v) = right(parent)   if v is the left child
+              = miss(parent)    otherwise;  miss(root) = -1.
+    Each sweep finalises one more tree level (top-down)."""
+    n_inner = tree.n_inner
+    n_ext = n_inner + tree.n_leaves
+    ext_parent = jnp.concatenate([tree.parent, tree.leaf_parent], axis=0)
+    self_id = jnp.arange(n_ext, dtype=jnp.int32)
+    safe_p = jnp.where(ext_parent >= 0, ext_parent, 0)
+    is_left = tree.left[safe_p] == self_id
+    sibling = tree.right[safe_p]
+
+    def sweep(state):
+        i, miss = state
+        parent_miss = miss[safe_p]           # parents are always inner ids
+        new = jnp.where(ext_parent < 0, -1,
+                        jnp.where(is_left, sibling, parent_miss))
+        return i + 1, new
+
+    init = (jnp.int32(0), jnp.full((n_ext,), -1, jnp.int32))
+    _, miss = jax.lax.while_loop(lambda s: s[0] < sweeps, sweep, init)
+    return miss
+
+
+def build_bvh(spheres: Spheres, leaf_size: int = 1) -> Bvh:
+    """Build the LBVH.  ``leaf_size`` is a static Python int."""
+    n = spheres.center.shape[0]
+    if n < 2:
+        raise ValueError("build_bvh requires at least 2 spheres")
+    n_leaves = -(-n // leaf_size)
+    if n_leaves < 2:
+        leaf_size = -(-n // 2)
+        n_leaves = -(-n // leaf_size)
+    m = n_leaves * leaf_size
+
+    boxes = sphere_aabb(spheres)
+    codes = morton_codes(centre(boxes))
+    perm = jnp.argsort(codes, stable=True).astype(jnp.int32)
+    sorted_spheres = Spheres(spheres.center[perm], spheres.radius[perm],
+                             spheres.color[perm])
+    sorted_codes = codes[perm]
+    sorted_spheres, order = _pad_spheres(sorted_spheres, perm, m)
+
+    # Cluster AABBs: radius-0 padding cannot extend a cluster's bounds.
+    sb = sphere_aabb(sorted_spheres)
+    leaf_min = sb.min.reshape(n_leaves, leaf_size, 3).min(axis=1)
+    leaf_max = sb.max.reshape(n_leaves, leaf_size, 3).max(axis=1)
+
+    cluster_codes = sorted_codes[::leaf_size][:n_leaves]
+    tree = build_radix_tree(cluster_codes)
+    _, max_depth = node_depths(tree)
+    node_min, node_max = _refit(tree, leaf_min, leaf_max, max_depth + 1)
+    skip = _skip_links(tree, max_depth + 2)
+
+    return Bvh(spheres=sorted_spheres, order=order, left=tree.left,
+               right=tree.right, node_min=node_min, node_max=node_max,
+               leaf_min=leaf_min, leaf_max=leaf_max, skip=skip,
+               parent=tree.parent, leaf_parent=tree.leaf_parent)

@@ -61,13 +61,15 @@ def sphere_hit_t(origin, direction, center, radius, t_min, t_max):
     b = dot(oc, direction)
     c = dot(oc, oc) - radius * radius
     disc = b * b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    pos = disc > 0.0
+    # double-where: sqrt'(0)=inf would poison gradients of missing lanes
+    sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
     root0 = (-b - sq) / a
     root1 = (-b + sq) / a
     ok0 = (root0 < t_max) & (root0 > t_min)
     ok1 = (root1 < t_max) & (root1 > t_min)
     t = jnp.where(ok0, root0, jnp.where(ok1, root1, INF))
-    return jnp.where(disc > 0.0, t, INF)
+    return jnp.where(pos, t, INF)
 
 
 def hit_record(t, origin, direction, center, radius, color):

@@ -1,0 +1,66 @@
+"""Public rendering API: prepare_scene / render, the reference's entry-point
+contract (futhark/ray.fut:239-247) in TPU-native form.
+
+``prepare_scene`` builds the LBVH + camera once (the reference's
+``prepared_scene`` opaque value); ``render`` consumes it.  Both are pure
+functions of pytrees, so callers can ``jax.jit`` them (width/height/mode are
+static).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+
+from ..bvh.lbvh import Bvh, build_bvh
+from ..bvh.traverse import closest_hit_bvh
+from ..geometry import MAX_DEPTH, Camera, Spheres, camera
+from ..scenes import Scene
+from . import bruteforce
+from .tracer import render_colours, render_packed
+
+
+class PreparedScene(NamedTuple):
+    """BVH + camera, ready to render (cf. futhark ``prepared_scene``)."""
+    spheres: Spheres      # original order (shading gathers by original index)
+    bvh: Bvh
+    cam: Camera
+
+
+def prepare_scene(scene: Scene, height: int, width: int,
+                  leaf_size: int = 8) -> PreparedScene:
+    """Build acceleration + camera for a scene (futhark/ray.fut:241-244).
+
+    vup=(0,1,0), aspect = w/h, per the reference.
+    """
+    cam = camera(scene.look_from, scene.look_at, (0.0, 1.0, 0.0), scene.fov,
+                 width / height)
+    return PreparedScene(spheres=scene.spheres,
+                         bvh=build_bvh(scene.spheres, leaf_size=leaf_size),
+                         cam=cam)
+
+
+def _oracle(prepared: PreparedScene, mode: str):
+    if mode == "bvh":
+        return functools.partial(closest_hit_bvh, prepared.bvh)
+    if mode in ("brute", "brute_matmul"):
+        formulation = "precise" if mode == "brute" else "matmul"
+        return bruteforce.make_closest_hit(prepared.spheres, formulation)
+    raise ValueError(f"unknown render mode: {mode}")
+
+
+def render(prepared: PreparedScene, height: int, width: int,
+           mode: str = "bvh", max_depth: int = MAX_DEPTH,
+           chunk: int | None = None):
+    """Render to the packed int32 image (h, w) (futhark/ray.fut:246-247)."""
+    return render_packed(_oracle(prepared, mode), prepared.spheres,
+                         prepared.cam, width, height, max_depth, chunk)
+
+
+def render_float(prepared: PreparedScene, height: int, width: int,
+                 mode: str = "bvh", max_depth: int = MAX_DEPTH,
+                 chunk: int | None = None):
+    """Render to float colours (h, w, 3) — the differentiable output."""
+    return render_colours(_oracle(prepared, mode), prepared.spheres,
+                          prepared.cam, width, height, max_depth, chunk)

@@ -60,14 +60,15 @@ def closest_hit_matmul(spheres: Spheres, origins, dirs,
     b = od - dC
     c = oo - 2.0 * oC + (cc - r2[None, :])
     disc = b * b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    pos = disc > 0.0
+    sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
     inv_a = 1.0 / a
     root0 = (-b - sq) * inv_a
     root1 = (-b + sq) * inv_a
     ok0 = (root0 < t_max) & (root0 > t_min)
     ok1 = (root1 < t_max) & (root1 > t_min)
     t = jnp.where(ok0, root0, jnp.where(ok1, root1, jnp.float32(jnp.inf)))
-    t_pair = jnp.where(disc > 0.0, t, jnp.float32(jnp.inf))
+    t_pair = jnp.where(pos, t, jnp.float32(jnp.inf))
     return _best(t_pair)
 
 

@@ -1,0 +1,96 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (conftest forces it)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from raytracers_tpu import camera, scenes
+from raytracers_tpu.geometry import Spheres
+from raytracers_tpu.grad.inverse import (InverseState, make_train_step,
+                                         recover)
+from raytracers_tpu.parallel.mesh import ray_mesh, render_sharded
+from raytracers_tpu.render.api import prepare_scene, render
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single_device():
+    sc = scenes.rgbbox()
+    prep = prepare_scene(sc, 64, 64, leaf_size=8)
+    single = np.asarray(render(prep, 64, 64, mode="bvh"))
+    mesh = ray_mesh()
+    sharded = np.asarray(render_sharded(prep, 64, 64, mesh=mesh, mode="bvh"))
+    # Same computation, different partitioning: tiny f32 jitter possible at
+    # fused boundaries, but in practice identical.
+    assert (single != sharded).mean() < 0.005
+
+
+def test_sharded_render_nondivisible_rays():
+    sc = scenes.rgbbox()
+    prep = prepare_scene(sc, 30, 31, leaf_size=4)  # 930 rays, 930 % 8 != 0
+    img = np.asarray(render_sharded(prep, 30, 31, mode="bvh"))
+    assert img.shape == (30, 31)
+
+
+def _mini():
+    return Spheres(
+        jnp.asarray([[0.0, 0.0, -5.0], [2.5, 0.0, -4.0]], jnp.float32),
+        jnp.asarray([1.5, 1.0], jnp.float32),
+        jnp.asarray([[0.8, 0.3, 0.2], [0.2, 0.6, 0.9]], jnp.float32))
+
+
+def test_inverse_rendering_recovers_perturbation():
+    """Sharded gradient descent pulls perturbed params back toward truth."""
+    from raytracers_tpu.grad.diff_render import render_diff
+    from raytracers_tpu.render.bruteforce import make_closest_hit
+
+    true = _mini()
+    cam = camera((0., 0., 2.), (0., 0., -5.), (0., 1., 0.), 60.0, 1.0)
+    target = render_diff(lambda s: make_closest_hit(s, "precise"), true, cam,
+                         24, 24, max_depth=3)
+
+    perturbed = true._replace(
+        center=true.center + jnp.asarray([[0.15, -0.1, 0.1],
+                                          [-0.1, 0.12, 0.0]]),
+        color=jnp.clip(true.color + 0.15, 0, 1))
+
+    mesh = ray_mesh()
+    fitted, final_loss = recover(np.asarray(target), cam, perturbed, mesh,
+                                 steps=60, lr=2e-2, max_depth=3)
+
+    def img_loss(s):
+        img = render_diff(lambda ss: make_closest_hit(ss, "precise"), s, cam,
+                          24, 24, max_depth=3)
+        return float(jnp.mean((img - target) ** 2))
+
+    assert img_loss(fitted) < 0.25 * img_loss(perturbed)
+    # parameters moved toward the truth
+    d0 = float(jnp.abs(perturbed.center - true.center).mean())
+    d1 = float(jnp.abs(fitted.center - true.center).mean())
+    assert d1 < d0
+
+
+def test_train_step_loss_decreases_monotonically_ish():
+    true = _mini()
+    cam = camera((0., 0., 2.), (0., 0., -5.), (0., 1., 0.), 60.0, 1.0)
+    from raytracers_tpu.grad.diff_render import render_diff
+    from raytracers_tpu.render.bruteforce import make_closest_hit
+    from raytracers_tpu.render.tracer import primary_rays
+
+    target = render_diff(lambda s: make_closest_hit(s, "precise"), true, cam,
+                         16, 16, max_depth=3)
+    perturbed = true._replace(radius=true.radius * 1.2)
+    mesh = ray_mesh()
+    opt = optax.adam(1e-2)
+    step = jax.jit(make_train_step(opt, mesh, max_depth=3))
+    o, d = primary_rays(cam, 16, 16)
+    tgt = jnp.asarray(np.asarray(target)).reshape(-1, 3)
+    state = InverseState(perturbed, opt.init(perturbed))
+    losses = []
+    for _ in range(12):
+        state, loss = step(state, o, d, tgt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
