@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness.  Prints ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: primary rays/s on rgbbox 1000x1000, full 50-bounce
+renderer, single chip, via the Pallas megakernel (TPU) or the XLA tracer
+(CPU fallback).  Baseline: the reference's best published number — Futhark
+on an AMD MI100, 14 ms for the same workload (= 7.143e7 rays/s,
+reference README.md:50 / BASELINE.md).
+
+Detailed per-phase metrics go to stderr and bench_details.json.
+"""
+import json
+import os
+import sys
+import time
+
+BASELINE_RAYS_PER_S = 1e6 / 14e-3   # Futhark MI100, rgbbox 1000x1000
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import numpy as np
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    log(f"bench: platform={platform} devices={jax.devices()}")
+
+    from raytracers_tpu import scenes
+    from raytracers_tpu.render.api import prepare_scene, render
+    from raytracers_tpu.utils.timing import bench_fn
+
+    W = H = 1000
+    runs = 10 if on_tpu else 2
+    mode = "pallas" if on_tpu else "bvh"
+    details = {"platform": platform, "mode": mode, "width": W, "height": H}
+
+    results = {}
+    for name in ["rgbbox", "irreg"]:
+        sc = scenes.by_name(name)
+        prep_fn = jax.jit(lambda s, n=name: prepare_scene(
+            s, H, W, leaf_size=8, with_pallas=(mode == "pallas")))
+        prep = jax.block_until_ready(prep_fn(sc))
+        bvh_s = bench_fn(prep_fn, sc, warmup=1, runs=runs)
+        render_fn = jax.jit(lambda p: render(
+            p, H, W, mode=mode, chunk=None if mode == "pallas" else 16384))
+        t0 = time.perf_counter()
+        jax.block_until_ready(render_fn(prep))
+        compile_s = time.perf_counter() - t0
+        dt = bench_fn(render_fn, prep, warmup=1, runs=runs)
+        rays = W * H / dt
+        results[name] = rays
+        details[f"{name}_bvh_ms"] = bvh_s * 1e3
+        details[f"{name}_render_ms"] = dt * 1e3
+        details[f"{name}_mrays_per_s"] = rays / 1e6
+        log(f"{name}: bvh {bvh_s*1e3:.2f} ms, render {dt*1e3:.2f} ms "
+            f"({rays/1e6:.1f} Mrays/s, compile {compile_s:.1f}s)")
+
+    # LBVH construction at 1M spheres (BASELINE.json configs[3])
+    try:
+        from raytracers_tpu.bvh.lbvh import build_bvh
+        soup = scenes.random_spheres(1_000_000, seed=0)
+        build_fn = jax.jit(lambda s: build_bvh(s, leaf_size=8))
+        jax.block_until_ready(build_fn(soup))
+        dt = bench_fn(build_fn, soup, warmup=1, runs=max(2, runs // 2))
+        details["lbvh_1m_ms"] = dt * 1e3
+        log(f"LBVH build 1M spheres: {dt*1e3:.1f} ms")
+    except Exception as e:  # pragma: no cover
+        log(f"LBVH 1M bench failed: {type(e).__name__}: {e}")
+
+    value = results["rgbbox"]
+    out = {
+        "metric": "rgbbox_1000x1000_primary_rays_per_s",
+        "value": round(value, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
+    }
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "bench_details.json"), "w") as f:
+        json.dump(details, f, indent=2)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

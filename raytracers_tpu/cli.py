@@ -75,7 +75,8 @@ def main(argv=None) -> int:
 
         prep_fn = jax.jit(
             lambda s: prepare_scene(s, args.height, args.width,
-                                    leaf_size=args.leaf_size))
+                                    leaf_size=args.leaf_size,
+                                    with_pallas=args.mode == "pallas"))
         bvh_s = bench_fn(prep_fn, scene, runs=args.runs)
         print(f"Scene BVH construction in {bvh_s:f}s.")
         prep = jax.block_until_ready(prep_fn(scene))

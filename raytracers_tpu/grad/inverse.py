@@ -5,6 +5,14 @@ The training step is ``shard_map``ped over the ray mesh: each device renders
 and differentiates its ray shard, then scene-parameter gradients are
 all-reduced with ``psum`` over ICI — the TPU-native equivalent of a gradient
 bucket all-reduce.  Scene parameters and optimizer state stay replicated.
+
+Known limitation (inherent to path-replay gradients): the gradient is exact
+for all continuous shading terms (colour, normal-driven reflections, radius
+within a fixed silhouette) but omits the visibility boundary term — moving a
+silhouette across a pixel is a discontinuity autodiff cannot see.  Colour
+and radius recovery converge cleanly; pure center recovery at low
+resolution may stall or drift (needs edge-sampling/reparameterised
+gradients — future work).
 """
 from __future__ import annotations
 
@@ -39,7 +47,8 @@ def _loss_shard(spheres, origins, dirs, target, max_depth, oracle_mode):
 
 
 def make_train_step(optimizer: optax.GradientTransformation, mesh: Mesh,
-                    max_depth: int = 5, oracle_mode: str = "brute"):
+                    max_depth: int = 5, oracle_mode: str = "brute",
+                    trainable: Spheres | None = None):
     """Build a jittable sharded train step:
     (state, origins (R,3), dirs (R,3), target (R,3)) -> (state, loss).
 
@@ -61,8 +70,12 @@ def make_train_step(optimizer: optax.GradientTransformation, mesh: Mesh,
             shard_grads, mesh=mesh,
             in_specs=(jax.tree.map(lambda _: rep, state.spheres),
                       P("rays"), P("rays"), P("rays")),
-            out_specs=(rep, jax.tree.map(lambda _: rep, state.spheres)))
+            out_specs=(rep, jax.tree.map(lambda _: rep, state.spheres)),
+            check_vma=False)  # see parallel/mesh.py
         loss, grads = sharded(state.spheres, origins, dirs, target)
+        if trainable is not None:
+            grads = jax.tree.map(
+                lambda g, m: g * jnp.asarray(m, g.dtype), grads, trainable)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.spheres)
         spheres = optax.apply_updates(state.spheres, updates)
@@ -77,9 +90,13 @@ def make_train_step(optimizer: optax.GradientTransformation, mesh: Mesh,
 
 def recover(target_image, cam: Camera, init_spheres: Spheres, mesh: Mesh,
             steps: int = 100, lr: float = 1e-2, max_depth: int = 5,
-            oracle_mode: str = "brute",
+            oracle_mode: str = "brute", trainable: Spheres | None = None,
             callback: Callable | None = None) -> tuple[Spheres, float]:
-    """Fit sphere parameters to a target (h, w, 3) float image."""
+    """Fit sphere parameters to a target (h, w, 3) float image.
+
+    ``trainable``: optional pytree (same structure as Spheres) of 0/1 masks
+    selecting which parameters receive gradient updates.
+    """
     h, w = target_image.shape[:2]
     origins, dirs = primary_rays(cam, w, h)
     target = jnp.asarray(target_image, jnp.float32).reshape(-1, 3)
@@ -93,7 +110,8 @@ def recover(target_image, cam: Camera, init_spheres: Spheres, mesh: Mesh,
 
     optimizer = optax.adam(lr)
     state = InverseState(init_spheres, optimizer.init(init_spheres))
-    step = jax.jit(make_train_step(optimizer, mesh, max_depth, oracle_mode))
+    step = jax.jit(make_train_step(optimizer, mesh, max_depth, oracle_mode,
+                                   trainable))
     loss = jnp.inf
     for i in range(steps):
         state, loss = step(state, origins, dirs, target)

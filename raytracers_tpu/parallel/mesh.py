@@ -56,9 +56,12 @@ def trace_sharded(prepared: PreparedScene, origins, dirs, mesh: Mesh,
         return trace(ch, prep.spheres, o, d, max_depth)
 
     rep = jax.tree.map(lambda _: P(), prepared)
+    # check_vma=False: the bounce while_loop's carry starts as replicated
+    # zeros and becomes rays-varying inside the body; the strict varying-
+    # manual-axes check rejects that even though it is semantically fine.
     fn = jax.shard_map(shard_fn, mesh=mesh,
                        in_specs=(P("rays"), P("rays"), rep),
-                       out_specs=P("rays"))
+                       out_specs=P("rays"), check_vma=False)
     colours = fn(origins, dirs, prepared)
     del oracle_src
     return colours[:R]

@@ -26,19 +26,26 @@ class PreparedScene(NamedTuple):
     spheres: Spheres      # original order (shading gathers by original index)
     bvh: Bvh
     cam: Camera
+    pallas: object = None  # PallasScene when prepared with with_pallas=True
 
 
 def prepare_scene(scene: Scene, height: int, width: int,
-                  leaf_size: int = 8) -> PreparedScene:
+                  leaf_size: int = 8,
+                  with_pallas: bool = False) -> PreparedScene:
     """Build acceleration + camera for a scene (futhark/ray.fut:241-244).
 
-    vup=(0,1,0), aspect = w/h, per the reference.
+    vup=(0,1,0), aspect = w/h, per the reference.  ``with_pallas`` also
+    builds the megakernel scene layout (TPU fast path).
     """
+    from .pallas_kernel import build_pallas_scene
+
     cam = camera(scene.look_from, scene.look_at, (0.0, 1.0, 0.0), scene.fov,
                  width / height)
-    return PreparedScene(spheres=scene.spheres,
-                         bvh=build_bvh(scene.spheres, leaf_size=leaf_size),
-                         cam=cam)
+    return PreparedScene(
+        spheres=scene.spheres,
+        bvh=build_bvh(scene.spheres, leaf_size=leaf_size),
+        cam=cam,
+        pallas=build_pallas_scene(scene.spheres) if with_pallas else None)
 
 
 def _oracle(prepared: PreparedScene, mode: str):
@@ -52,8 +59,19 @@ def _oracle(prepared: PreparedScene, mode: str):
 
 def render(prepared: PreparedScene, height: int, width: int,
            mode: str = "bvh", max_depth: int = MAX_DEPTH,
-           chunk: int | None = None):
-    """Render to the packed int32 image (h, w) (futhark/ray.fut:246-247)."""
+           chunk: int | None = None, interpret: bool = False):
+    """Render to the packed int32 image (h, w) (futhark/ray.fut:246-247).
+
+    mode="pallas" uses the fused TPU megakernel (requires prepare_scene
+    with_pallas=True); other modes use the XLA tracer.
+    """
+    if mode == "pallas":
+        from .pallas_kernel import render_pallas
+        if prepared.pallas is None:
+            raise ValueError("prepare_scene(..., with_pallas=True) required "
+                             "for mode='pallas'")
+        return render_pallas(prepared.pallas, prepared.cam, width, height,
+                             max_depth=max_depth, interpret=interpret)
     return render_packed(_oracle(prepared, mode), prepared.spheres,
                          prepared.cam, width, height, max_depth, chunk)
 

@@ -1,0 +1,64 @@
+"""Tracing / profiling / metrics (SURVEY.md §5).
+
+The reference has only wall-clock phase timers (futhark/main.c:88-124).
+Here: structured per-phase metrics with derived rays/s, JSON dumping, and a
+``jax.profiler`` trace context for TPU timeline capture.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import sys
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler trace (view with TensorBoard/Perfetto)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class Metrics:
+    """Structured render metrics: phase ms + derived throughput."""
+
+    def __init__(self, width: int, height: int, scene: str):
+        self.data = {"width": width, "height": height, "scene": scene,
+                     "platform": jax.devices()[0].platform,
+                     "n_devices": len(jax.devices())}
+
+    def phase(self, name: str, seconds: float):
+        self.data[f"{name}_ms"] = seconds * 1e3
+        if name == "render":
+            rays = self.data["width"] * self.data["height"]
+            self.data["mrays_per_s"] = rays / seconds / 1e6
+            self.data["mrays_per_s_per_chip"] = (
+                self.data["mrays_per_s"] / self.data["n_devices"])
+        return self
+
+    def dump(self, path: str | None = None):
+        if path:
+            with open(path, "w") as f:
+                json.dump(self.data, f, indent=2)
+        else:
+            json.dump(self.data, sys.stderr, indent=2)
+            sys.stderr.write("\n")
+        return self.data
+
+
+@contextlib.contextmanager
+def timed(label: str, sink=None):
+    """Wall-clock phase timer with device sync, reference-driver style."""
+    t0 = time.perf_counter()
+    yield
+    # callers are expected to block_until_ready inside; this is a fallback
+    dt = time.perf_counter() - t0
+    msg = f"{label} in {dt:f}s."
+    print(msg, file=sys.stderr)
+    if sink is not None:
+        sink(label, dt)

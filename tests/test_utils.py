@@ -1,0 +1,56 @@
+"""Checkpoint/timing/profiling utility tests."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracers_tpu import scenes
+from raytracers_tpu.bvh.lbvh import build_bvh
+from raytracers_tpu.bvh.traverse import closest_hit_bvh
+from raytracers_tpu.geometry import Spheres
+from raytracers_tpu.utils.checkpoint import (latest_checkpoint, load_bvh,
+                                             load_spheres, save_bvh,
+                                             save_spheres)
+from raytracers_tpu.utils.timing import PhaseTimer, bench_fn
+
+
+def test_bvh_roundtrip(tmp_path):
+    sc = scenes.rgbbox()
+    bvh = build_bvh(sc.spheres, leaf_size=8)
+    path = str(tmp_path / "bvh.npz")
+    save_bvh(path, bvh)
+    loaded = load_bvh(path)
+    # traversal through the loaded BVH must agree exactly
+    o = jnp.asarray([[0., 30., 30.]] * 16)
+    d = jnp.asarray(np.random.default_rng(0).normal(size=(16, 3))
+                    .astype(np.float32)) - jnp.asarray([[0., 1., 1.]])
+    i1, t1 = closest_hit_bvh(bvh, o, d)
+    i2, t2 = closest_hit_bvh(loaded, o, d)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_spheres_checkpoint_roundtrip(tmp_path):
+    s = Spheres(jnp.ones((3, 3)), jnp.ones((3,)), jnp.zeros((3, 3)))
+    p = str(tmp_path / "ckpt_5.npz")
+    save_spheres(p, s, step=5, extra={"loss": 0.25})
+    s2, step, extra = load_spheres(p)
+    assert step == 5
+    np.testing.assert_allclose(np.asarray(s2.center), 1.0)
+    assert float(extra["loss"]) == 0.25
+
+
+def test_latest_checkpoint(tmp_path):
+    assert latest_checkpoint(str(tmp_path)) is None
+    for i in (1, 10, 2):
+        save_spheres(str(tmp_path / f"ckpt_{i}.npz"),
+                     Spheres(jnp.zeros((1, 3)), jnp.ones((1,)),
+                             jnp.zeros((1, 3))), step=i)
+    assert latest_checkpoint(str(tmp_path)).endswith("ckpt_10.npz")
+
+
+def test_bench_fn_and_phase_timer():
+    timer = PhaseTimer()
+    dt = timer.measure("noop", lambda: jnp.ones(4), warmup=1, runs=2)
+    assert dt >= 0
+    assert "noop" in timer.report()
