@@ -9,22 +9,28 @@ rather than translated from the reference's per-thread GPU code:
   bounce; only mirror-trap tiles run deep.  This is the tile-level load
   balancing the irreg scene demands (SURVEY.md §7 "hard parts").
 
-* **Rays on sublanes × spheres on lanes** — the closest-hit search is a
-  dense (T, 128) vector computation per 128-sphere cluster: zero gathers,
-  zero per-lane control flow, full VPU occupancy.
+* **Rays on lanes × spheres on sublanes** — per-ray state is (1, T)
+  vectors (2 vregs each, so the bounce loop carries stay tiny) and the
+  dense closest-hit search is (128, T) vector work per 128-sphere cluster.
+  This orientation means every broadcast between state and pair space is
+  layout-preserving — no per-op relayouts.  (Two earlier orientations
+  failed: (tile,1) state made loop carries explode to ~500 vregs and
+  Mosaic's scf.for legalization gave up; (8,W,128) pair math forced a
+  transposing relayout on every state↔pair broadcast and ran 40x slow.)
 
 * **Cluster culling, packet-traversal style** — spheres are Morton-sorted
-  and grouped into 128-wide clusters (bvh/lbvh.py order); each bounce first
-  slab-tests all cluster AABBs for the whole tile (dense (T, 128) ops per
-  cluster block), then visits only clusters some live ray overlaps (scalar
-  `lax.cond` skip) — the TPU analogue of packet traversal (whole-tile
-  descent), replacing the reference's per-ray stack walk
-  (futhark/bvh.fut:61-84).
+  and grouped into 128-wide clusters (bvh/lbvh.py order); each bounce
+  slab-tests all cluster AABBs for the whole tile (dense (128, T) ops per
+  128-cluster block), then visits only clusters some live ray overlaps,
+  skipped with a scalar `lax.cond` on a VMEM-scratch hit count — the TPU
+  analogue of packet traversal (whole-tile descent), replacing the
+  reference's per-ray stack walk (futhark/bvh.fut:61-84).
 
 * **Gather-free winner readback** — each visited cluster updates a running
-  (t, global-sphere-id) minimum; the winning sphere's parameters are pulled
-  out with a one-hot (lane == winner) contraction, exact because ids are
-  unique.  No dynamic per-lane gathers anywhere.
+  minimum and pulls the winning sphere's 7 parameters out with a one-hot
+  (sublane == winner) contraction, exact because winner ids are unique.
+  Sphere/AABB fields are stored as packed (C, 8, 128) blocks: one dynamic
+  major-dim read + one (8,128)->(128,8) transpose per visited cluster.
 
 * Shading (mirror scatter, sky miss, 255.99 quantization) is fused; the
   kernel emits final packed int32 pixels.
@@ -50,41 +56,38 @@ from ..geometry import (MAX_DEPTH, SCENE_EPSILON, T_MAX, T_MIN, Camera,
                         Spheres)
 
 LANE = 128            # spheres per cluster == TPU lane width
-DEFAULT_TILE = 256    # rays per grid program (sublane dimension)
+DEFAULT_TILE = 256    # rays per grid program
 _BIG = float(T_MAX)   # python float: a jnp constant here would be captured
+
+# rows of the packed per-cluster sphere block
+_ROW_CX, _ROW_CY, _ROW_CZ, _ROW_RAD = 0, 1, 2, 3
+_ROW_CR, _ROW_CG, _ROW_CB = 4, 5, 6
+# rows of the packed per-block AABB block
+_ROW_MNX, _ROW_MNY, _ROW_MNZ, _ROW_MXX, _ROW_MXY, _ROW_MXZ = 0, 1, 2, 3, 4, 5
 
 
 class PallasScene(NamedTuple):
     """Scene laid out for the megakernel.
 
     C = number of 128-sphere clusters; CB = ceil(C / 128) cluster blocks.
-    Sphere fields are (C, 128): row = cluster, lane = sphere-in-cluster.
-    Cluster AABB fields are (CB, 128): row = block, lane = cluster.
+    ``spheres``: (C, 8, 128) f32 — rows cx, cy, cz, rad, cr, cg, cb, pad;
+    lane = sphere-in-cluster.
+    ``aabbs``: (CB, 8, 128) f32 — rows amnx..amxz, pad, pad; lane = cluster
+    (padding clusters carry an empty box: min=+inf, max=-inf, never hit).
     ``order`` maps (cluster*128 + lane) -> original sphere index (-1 pad).
     """
-    cx: jnp.ndarray
-    cy: jnp.ndarray
-    cz: jnp.ndarray
-    rad: jnp.ndarray
-    cr: jnp.ndarray
-    cg: jnp.ndarray
-    cb: jnp.ndarray
-    amnx: jnp.ndarray
-    amny: jnp.ndarray
-    amnz: jnp.ndarray
-    amxx: jnp.ndarray
-    amxy: jnp.ndarray
-    amxz: jnp.ndarray
+    spheres: jnp.ndarray
+    aabbs: jnp.ndarray
     order: jnp.ndarray
 
     @property
     def n_clusters(self) -> int:
-        return self.cx.shape[0]
+        return self.spheres.shape[0]
 
 
-def build_pallas_scene(spheres: Spheres) -> PallasScene:
-    """Morton-sort + cluster the scene into the kernel layout."""
-    bvh = build_bvh(spheres, leaf_size=LANE)
+def build_pallas_scene(sph: Spheres) -> PallasScene:
+    """Morton-sort + cluster the scene into the packed kernel layout."""
+    bvh = build_bvh(sph, leaf_size=LANE)
     C = bvh.n_leaves
     CB = -(-C // LANE)
     s = bvh.spheres
@@ -92,39 +95,42 @@ def build_pallas_scene(spheres: Spheres) -> PallasScene:
     def field(x):
         return x.reshape(C, LANE)
 
-    def aabb_lo(x):
-        pad = CB * LANE - C
-        return jnp.pad(x, (0, pad), constant_values=np.inf).reshape(CB, LANE)
+    packed = jnp.stack([
+        field(s.center[:, 0]), field(s.center[:, 1]), field(s.center[:, 2]),
+        field(s.radius),
+        field(s.color[:, 0]), field(s.color[:, 1]), field(s.color[:, 2]),
+        jnp.zeros((C, LANE), jnp.float32),
+    ], axis=1)                                            # (C, 8, 128)
 
-    def aabb_hi(x):
+    def pad_to_blocks(x, fill):
         pad = CB * LANE - C
-        return jnp.pad(x, (0, pad), constant_values=-np.inf).reshape(CB, LANE)
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(CB, LANE)
 
-    return PallasScene(
-        cx=field(s.center[:, 0]), cy=field(s.center[:, 1]),
-        cz=field(s.center[:, 2]), rad=field(s.radius),
-        cr=field(s.color[:, 0]), cg=field(s.color[:, 1]),
-        cb=field(s.color[:, 2]),
-        amnx=aabb_lo(bvh.leaf_min[:, 0]),
-        amny=aabb_lo(bvh.leaf_min[:, 1]),
-        amnz=aabb_lo(bvh.leaf_min[:, 2]),
-        amxx=aabb_hi(bvh.leaf_max[:, 0]),
-        amxy=aabb_hi(bvh.leaf_max[:, 1]),
-        amxz=aabb_hi(bvh.leaf_max[:, 2]),
-        order=bvh.order.reshape(C, LANE),
-    )
+    aabbs = jnp.stack([
+        pad_to_blocks(bvh.leaf_min[:, 0], np.inf),
+        pad_to_blocks(bvh.leaf_min[:, 1], np.inf),
+        pad_to_blocks(bvh.leaf_min[:, 2], np.inf),
+        pad_to_blocks(bvh.leaf_max[:, 0], -np.inf),
+        pad_to_blocks(bvh.leaf_max[:, 1], -np.inf),
+        pad_to_blocks(bvh.leaf_max[:, 2], -np.inf),
+        jnp.zeros((CB, LANE), jnp.float32),
+        jnp.zeros((CB, LANE), jnp.float32),
+    ], axis=1)                                            # (CB, 8, 128)
+
+    return PallasScene(spheres=packed, aabbs=aabbs,
+                       order=bvh.order.reshape(C, LANE))
 
 
 def _megakernel(params_ref,               # SMEM (24,) f32
-                cx_ref, cy_ref, cz_ref, rad_ref, cr_ref, cg_ref, cb_ref,
-                amnx_ref, amny_ref, amnz_ref, amxx_ref, amxy_ref, amxz_ref,
-                out_ref,                  # (1, T) int32 packed pixels
+                sph_ref,                  # VMEM (C, 8, 128) f32
+                aabb_ref,                 # VMEM (CB, 8, 128) f32
+                out_ref,                  # (1, 8, T//8) int32 packed pixels
                 hits_ref,                 # scratch VMEM (CB*LANE, 1) f32
                 *, tile: int, n_clusters: int, max_depth: int,
                 far_root: bool):
     T = tile
     C = n_clusters
-    CB = amnx_ref.shape[0]
+    CB = aabb_ref.shape[0]
 
     width = params_ref[16]
     height = params_ref[17]
@@ -133,7 +139,7 @@ def _megakernel(params_ref,               # SMEM (24,) f32
 
     # ---- fused ray generation (futhark/ray.fut:150-168) ----
     pid = pl.program_id(0)
-    ids = (pid * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    ids = (pid * T + jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
            ).astype(jnp.float32)
     i = ids - jnp.floor(ids * inv_w) * width        # i = id mod w
     j = jnp.floor(ids * inv_w)                      # j = id div w
@@ -143,63 +149,73 @@ def _megakernel(params_ref,               # SMEM (24,) f32
     dx = params_ref[0] + u * params_ref[3] + v * params_ref[6] - params_ref[9]
     dy = params_ref[1] + u * params_ref[4] + v * params_ref[7] - params_ref[10]
     dz = params_ref[2] + u * params_ref[5] + v * params_ref[8] - params_ref[11]
-    ox = jnp.full((T, 1), params_ref[9])
-    oy = jnp.full((T, 1), params_ref[10])
-    oz = jnp.full((T, 1), params_ref[11])
+    ox = jnp.full((1, T), params_ref[9])
+    oy = jnp.full((1, T), params_ref[10])
+    oz = jnp.full((1, T), params_ref[11])
 
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
     eps = jnp.float32(SCENE_EPSILON)
 
     def closest_hit(ox, oy, oz, dx, dy, dz, active):
-        """Culled dense search -> (best_t, best sphere payload…), all (T,1).
+        """Culled dense search.  All returns (1, T):
+        (best_t, hit_mask(f32), scx, scy, scz, srad, sr, sg, sb).
 
-        Returns (best_t, hit_mask, scx, scy, scz, srad, sr, sg, sb).
+        ``active`` is a f32 0/1 mask (i1 vectors cannot be loop-carried —
+        Mosaic scf.for legalization rejects them).
         """
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
         inv_dx = 1.0 / dx
         inv_dy = 1.0 / dy
         inv_dz = 1.0 / dz
+        active_b = active > 0.0
 
-        # Phase A: dense cluster-AABB culling; per-cluster live-ray counts
-        # land in VMEM scratch in (cluster, 1) layout for scalar reads.
+        # Phase A: dense cluster-AABB culling over cluster blocks; the
+        # per-cluster live-ray counts land in VMEM scratch (cluster, 1)
+        # for the scalar visit-skip reads.
         for cb in range(CB):
-            t_lo = jnp.full((T, 1), T_MIN)
-            t_hi = jnp.full((T, 1), _BIG)
+            blk = jnp.swapaxes(
+                aabb_ref[pl.ds(cb, 1), :, :].reshape(8, LANE), 0, 1)
+            mnx = blk[:, _ROW_MNX:_ROW_MNX + 1]          # (128, 1)
+            mny = blk[:, _ROW_MNY:_ROW_MNY + 1]
+            mnz = blk[:, _ROW_MNZ:_ROW_MNZ + 1]
+            mxx = blk[:, _ROW_MXX:_ROW_MXX + 1]
+            mxy = blk[:, _ROW_MXY:_ROW_MXY + 1]
+            mxz = blk[:, _ROW_MXZ:_ROW_MXZ + 1]
+            t_lo = jnp.zeros((LANE, T)) + T_MIN
+            t_hi = jnp.zeros((LANE, T)) + _BIG
             ok = None
-            for mn_ref, mx_ref, oo, inv in (
-                    (amnx_ref, amxx_ref, ox, inv_dx),
-                    (amny_ref, amxy_ref, oy, inv_dy),
-                    (amnz_ref, amxz_ref, oz, inv_dz)):
-                mn = mn_ref[cb:cb + 1, :]
-                mx = mx_ref[cb:cb + 1, :]
-                t0 = (mn - oo) * inv
+            for mn, mx, oo, inv in ((mnx, mxx, ox, inv_dx),
+                                    (mny, mxy, oy, inv_dy),
+                                    (mnz, mxz, oz, inv_dz)):
+                t0 = (mn - oo) * inv                     # (128, T)
                 t1 = (mx - oo) * inv
-                near = jnp.where(inv < 0.0, t1, t0)
-                far = jnp.where(inv < 0.0, t0, t1)
+                neg = jnp.broadcast_to(inv < 0.0, t0.shape)
+                near = jnp.where(neg, t1, t0)
+                far = jnp.where(neg, t0, t1)
                 t_lo = jnp.maximum(near, t_lo)
                 t_hi = jnp.minimum(far, t_hi)
                 stage_ok = t_hi > t_lo
                 ok = stage_ok if ok is None else (ok & stage_ok)
-            ok = ok & active
-            counts = jnp.sum(ok.astype(jnp.float32), axis=0,
-                             keepdims=True)                    # (1, LANE)
-            hits_ref[pl.ds(cb * LANE, LANE), :] = counts.reshape(LANE, 1)
+            ok = ok & jnp.broadcast_to(active_b, ok.shape)
+            counts = jnp.sum(ok.astype(jnp.float32), axis=1,
+                             keepdims=True)              # (128, 1)
+            hits_ref[pl.ds(cb * LANE, LANE), :] = counts
 
         # Phase B: visit overlapped clusters (scalar skip), dense quadratic
         # + running (t, payload) minimum with one-hot winner readback.
         def visit(c, carry):
-            (best_t, hit, bcx, bcy, bcz, brad, bcr, bcg, bcb) = carry
             anyhit = hits_ref[c, 0]
 
             def do_visit(carry):
                 (best_t, hit, bcx, bcy, bcz, brad, bcr, bcg, bcb) = carry
-                row = pl.ds(c, 1)
-                sx = cx_ref[row, :]
-                sy = cy_ref[row, :]
-                sz = cz_ref[row, :]
-                sr = rad_ref[row, :]
-                ocx = ox - sx
+                blk_raw = sph_ref[pl.ds(c, 1), :, :].reshape(8, LANE)
+                blk = jnp.swapaxes(blk_raw, 0, 1)
+                sx = blk[:, _ROW_CX:_ROW_CX + 1]         # (128, 1)
+                sy = blk[:, _ROW_CY:_ROW_CY + 1]
+                sz = blk[:, _ROW_CZ:_ROW_CZ + 1]
+                sr = blk[:, _ROW_RAD:_ROW_RAD + 1]
+                ocx = ox - sx                            # (128, T)
                 ocy = oy - sy
                 ocz = oz - sz
                 b_ = ocx * dx + ocy * dy + ocz * dz
@@ -215,35 +231,41 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                     t = jnp.where(ok0, t0, jnp.where(ok1, t1, _BIG))
                 else:
                     t = jnp.where(ok0, t0, _BIG)
-                t = jnp.where(pos & active, t, _BIG)
-                tmin = jnp.min(t, axis=1, keepdims=True)      # (T,1)
+                t = jnp.where(pos & jnp.broadcast_to(active_b, t.shape),
+                              t, _BIG)
+                tmin = jnp.min(t, axis=0, keepdims=True)  # (1, T)
                 improved = tmin < best_t
-                # unique winner lane -> one-hot payload readback
+                # unique winner sublane -> one-hot payload readback.
+                # (A single (8,128)@(128,T) MXU dot would be cheaper but
+                # Mosaic rejects it here: "Not implemented: Sublane
+                # broadcast"; revisit when Mosaic grows that lowering.)
                 winner = jnp.min(
-                    jnp.where(t == tmin, lane_ids, LANE), axis=1,
-                    keepdims=True)                             # (T,1)
-                onehot = (lane_ids == winner).astype(jnp.float32)
+                    jnp.where(t == tmin, sub_ids, LANE), axis=0,
+                    keepdims=True)                        # (1, T)
+                onehot = (sub_ids == winner).astype(jnp.float32)  # (128, T)
+                del blk_raw
 
-                def pick(vals, acc):
-                    got = jnp.sum(vals * onehot, axis=1, keepdims=True)
+                def pick(row, acc):
+                    got = jnp.sum(blk[:, row:row + 1] * onehot, axis=0,
+                                  keepdims=True)          # (1, T)
                     return jnp.where(improved, got, acc)
 
                 best_t = jnp.where(improved, tmin, best_t)
-                hit = hit | improved
-                bcx = pick(sx, bcx)
-                bcy = pick(sy, bcy)
-                bcz = pick(sz, bcz)
-                brad = pick(sr, brad)
-                bcr = pick(cr_ref[row, :], bcr)
-                bcg = pick(cg_ref[row, :], bcg)
-                bcb = pick(cb_ref[row, :], bcb)
+                hit = jnp.where(improved, 1.0, hit)
+                bcx = pick(_ROW_CX, bcx)
+                bcy = pick(_ROW_CY, bcy)
+                bcz = pick(_ROW_CZ, bcz)
+                brad = pick(_ROW_RAD, brad)
+                bcr = pick(_ROW_CR, bcr)
+                bcg = pick(_ROW_CG, bcg)
+                bcb = pick(_ROW_CB, bcb)
                 return (best_t, hit, bcx, bcy, bcz, brad, bcr, bcg, bcb)
 
             return jax.lax.cond(anyhit > 0.0, do_visit, lambda x: x, carry)
 
-        zero = jnp.zeros((T, 1), jnp.float32)
-        init = (jnp.full((T, 1), _BIG), jnp.zeros((T, 1), bool),
-                zero, zero, zero, jnp.ones((T, 1), jnp.float32),
+        zero = jnp.zeros((1, T), jnp.float32)
+        init = (jnp.full((1, T), _BIG), zero,
+                zero, zero, zero, jnp.ones((1, T), jnp.float32),
                 zero, zero, zero)
         return jax.lax.fori_loop(0, C, visit, init)
 
@@ -287,8 +309,10 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         rz = uz - 2.0 * udn * nz
         scatter_ok = (rx * nx + ry * ny + rz * nz) > 0.0
 
-        bounce = active & hit & scatter_ok
-        miss = active & ~hit
+        active_b = active > 0.0
+        hit_b = hit > 0.0
+        bounce = active_b & hit_b & scatter_ok
+        miss = active_b & ~hit_b
 
         # sky gradient (ray.fut:141-148)
         tsky = 0.5 * (uy + 1.0)
@@ -308,19 +332,19 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         dx = jnp.where(bounce, rx, dx)
         dy = jnp.where(bounce, ry, dy)
         dz = jnp.where(bounce, rz, dz)
-        n_active = jnp.sum(bounce.astype(jnp.float32))
+        active = jnp.where(bounce, 1.0, 0.0)
+        n_active = jnp.sum(active)
         return (depth + 1, n_active, ox, oy, oz, dx, dy, dz,
-                lr, lg, lb, rr, rg, rb, bounce)
+                lr, lg, lb, rr, rg, rb, active)
 
     def bounce_cond(state):
         depth, n_active = state[0], state[1]
         return (depth < max_depth) & (n_active > 0.0)
 
-    zeros = jnp.zeros((T, 1), jnp.float32)
-    ones = jnp.ones((T, 1), jnp.float32)
+    zeros = jnp.zeros((1, T), jnp.float32)
+    ones = jnp.ones((1, T), jnp.float32)
     state = (jnp.int32(0), jnp.float32(1.0), ox, oy, oz, dx, dy, dz,
-             ones, ones, ones, zeros, zeros, zeros,
-             jnp.ones((T, 1), bool))
+             ones, ones, ones, zeros, zeros, zeros, ones)
     state = jax.lax.while_loop(bounce_cond, bounce_body, state)
     rr, rg, rb = state[11], state[12], state[13]
 
@@ -328,8 +352,8 @@ def _megakernel(params_ref,               # SMEM (24,) f32
     pr = (255.99 * rr).astype(jnp.int32)
     pg = (255.99 * rg).astype(jnp.int32)
     pb = (255.99 * rb).astype(jnp.int32)
-    packed = (pr << 16) | (pg << 8) | pb                       # (T,1)
-    out_ref[:] = packed.reshape(T)
+    packed = (pr << 16) | (pg << 8) | pb                       # (1, T)
+    out_ref[0, :, :] = packed
 
 
 def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
@@ -347,21 +371,22 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
     ]).astype(jnp.float32)
 
     C = scene.n_clusters
-    CB = scene.amnx.shape[0]
+    CB = scene.aabbs.shape[0]
     kernel = functools.partial(_megakernel, tile=tile, n_clusters=C,
                                max_depth=max_depth, far_root=far_root)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
-                 [vm((C, LANE), lambda i: (0, 0))] * 7 +
-                 [vm((CB, LANE), lambda i: (0, 0))] * 6,
-        out_specs=vm((tile,), lambda i: (i,)),
-        out_shape=jax.ShapeDtypeStruct((num_tiles * tile,), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  vm((C, 8, LANE), lambda i: (0, 0, 0)),
+                  vm((CB, 8, LANE), lambda i: (0, 0, 0))],
+        # block (1, 1, tile): the last two dims equal the array dims, which
+        # Mosaic accepts, and no in-kernel reshape of the (1, T) result is
+        # needed (reshape (1,256)->(8,32) is an unsupported shape cast).
+        out_specs=vm((1, 1, tile), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32),
         scratch_shapes=[pltpu.VMEM((CB * LANE, 1), jnp.float32)],
         interpret=interpret,
-    )(params, scene.cx, scene.cy, scene.cz, scene.rad, scene.cr, scene.cg,
-      scene.cb, scene.amnx, scene.amny, scene.amnz, scene.amxx, scene.amxy,
-      scene.amxz)
+    )(params, scene.spheres, scene.aabbs)
     return out.reshape(-1)[:R].reshape(height, width)
