@@ -30,14 +30,24 @@ def main():
     on_tpu = platform == "tpu"
     log(f"bench: platform={platform} devices={jax.devices()}")
 
+    import jax.numpy as jnp
+
     from raytracers_tpu import scenes
     from raytracers_tpu.render.api import prepare_scene, render
-    from raytracers_tpu.utils.timing import bench_fn
+    from raytracers_tpu.utils.timing import bench_salted
 
     W = H = 1000
     runs = 10 if on_tpu else 2
     mode = "pallas" if on_tpu else "bvh"
     details = {"platform": platform, "mode": mode, "width": W, "height": H}
+
+    # NOTE on methodology: every timed call gets value-identical but
+    # bit-distinct inputs (a +k*1e-30 f32 nudge) — the remote-execution
+    # runtime memoizes repeated identical calls (see utils/timing.py).
+    def salted_scene(sc, k):
+        sph = sc.spheres
+        return sc._replace(spheres=sph._replace(
+            center=sph.center + jnp.float32(k) * 1e-30))
 
     results = {}
     for name in ["rgbbox", "irreg"]:
@@ -45,13 +55,25 @@ def main():
         prep_fn = jax.jit(lambda s, n=name: prepare_scene(
             s, H, W, leaf_size=8, with_pallas=(mode == "pallas")))
         prep = jax.block_until_ready(prep_fn(sc))
-        bvh_s = bench_fn(prep_fn, sc, warmup=1, runs=runs)
-        render_fn = jax.jit(lambda p: render(
-            p, H, W, mode=mode, chunk=None if mode == "pallas" else 16384))
+        # timed fns return scalar checksums (see bench_salted docstring)
+        prep_sum_fn = jax.jit(lambda s, n=name: sum(
+            jnp.sum(x) for x in jax.tree.leaves(prepare_scene(
+                s, H, W, leaf_size=8, with_pallas=(mode == "pallas")))
+            if jnp.issubdtype(x.dtype, jnp.floating)))
+        bvh_s = bench_salted(prep_sum_fn, lambda k: (salted_scene(sc, k),),
+                             warmup=1, runs=runs)
+        render_sum_fn = jax.jit(lambda p: jnp.sum(render(
+            p, H, W, mode=mode,
+            chunk=None if mode == "pallas" else 16384)))
         t0 = time.perf_counter()
-        jax.block_until_ready(render_fn(prep))
+        jax.device_get(render_sum_fn(prep))
         compile_s = time.perf_counter() - t0
-        dt = bench_fn(render_fn, prep, warmup=1, runs=runs)
+
+        def salted_prep(k, prep=prep):
+            cam = prep.cam._replace(
+                origin=prep.cam.origin + jnp.float32(k) * 1e-30)
+            return (prep._replace(cam=cam),)
+        dt = bench_salted(render_sum_fn, salted_prep, warmup=1, runs=runs)
         rays = W * H / dt
         results[name] = rays
         details[f"{name}_bvh_ms"] = bvh_s * 1e3
@@ -64,9 +86,15 @@ def main():
     try:
         from raytracers_tpu.bvh.lbvh import build_bvh
         soup = scenes.random_spheres(1_000_000, seed=0)
-        build_fn = jax.jit(lambda s: build_bvh(s, leaf_size=8))
-        jax.block_until_ready(build_fn(soup))
-        dt = bench_fn(build_fn, soup, warmup=1, runs=max(2, runs // 2))
+        build_sum_fn = jax.jit(lambda s: sum(
+            jnp.sum(x) for x in jax.tree.leaves(build_bvh(s, leaf_size=8))
+            if jnp.issubdtype(x.dtype, jnp.floating)))
+
+        def salted_soup(k):
+            return (soup._replace(center=soup.center
+                                  + jnp.float32(k) * 1e-30),)
+        dt = bench_salted(build_sum_fn, salted_soup, warmup=1,
+                          runs=max(2, runs // 2))
         details["lbvh_1m_ms"] = dt * 1e3
         log(f"LBVH build 1M spheres: {dt*1e3:.1f} ms")
     except Exception as e:  # pragma: no cover

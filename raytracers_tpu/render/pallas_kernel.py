@@ -56,7 +56,7 @@ from ..geometry import (MAX_DEPTH, SCENE_EPSILON, T_MAX, T_MIN, Camera,
                         Spheres)
 
 LANE = 128            # spheres per cluster == TPU lane width
-DEFAULT_TILE = 256    # rays per grid program
+DEFAULT_TILE = 512    # rays per grid program (measured best of 256/512/1024)
 _BIG = float(T_MAX)   # python float: a jnp constant here would be captured
 
 # rows of the packed per-cluster sphere block

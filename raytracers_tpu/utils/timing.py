@@ -23,6 +23,34 @@ def bench_fn(fn: Callable, *args, warmup: int = 2, runs: int = 10) -> float:
     return (time.perf_counter() - t0) / runs
 
 
+def bench_salted(fn: Callable, make_args: Callable[[int], tuple],
+                 warmup: int = 2, runs: int = 10) -> float:
+    """Robust timing for hostile runtimes: salted inputs + queue drain.
+
+    Two failure modes of naive ``block_until_ready`` loops were observed on
+    the tunneled TPU stack:
+      1. repeated identical (executable, input) calls can be served from a
+         result cache — every call must get bit-distinct inputs
+         (``make_args(k)``; a +k*1e-30 f32 nudge is value-identical), and
+      2. ``block_until_ready`` can ack before device execution finishes
+         (async dispatch through the relay) — so ``fn`` should return a
+         SMALL array (e.g. a checksum) and the loop is closed with a
+         ``device_get`` that forces a full queue drain before the clock
+         stops.
+
+    Dispatches execute sequentially on-device, so total/runs is the true
+    average execution time (+ amortised dispatch overhead).
+    """
+    for k in range(warmup):
+        jax.device_get(fn(*make_args(-1 - k)))
+    t0 = time.perf_counter()
+    last = None
+    for k in range(runs):
+        last = fn(*make_args(k))
+    jax.device_get(last)
+    return (time.perf_counter() - t0) / runs
+
+
 class PhaseTimer:
     """Collects named phase timings (seconds); renders a metrics dict."""
 
