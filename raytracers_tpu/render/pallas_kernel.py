@@ -121,37 +121,54 @@ def build_pallas_scene(sph: Spheres) -> PallasScene:
                        order=bvh.order.reshape(C, LANE))
 
 
+N_STATE = 13   # ox oy oz dx dy dz lr lg lb rr rg rb active
+
+
 def _megakernel(params_ref,               # SMEM (24,) f32
                 sph_ref,                  # VMEM (C, 8, 128) f32
                 aabb_ref,                 # VMEM (CB, 8, 128) f32
-                out_ref,                  # (1, 8, T//8) int32 packed pixels
-                hits_ref,                 # scratch VMEM (CB*LANE, 1) f32
-                *, tile: int, n_clusters: int, max_depth: int,
-                far_root: bool):
+                *refs,                    # [13 state_in] outputs, hits scratch
+                tile: int, n_clusters: int, max_depth: int,
+                far_root: bool, gen_rays: bool = True,
+                emit_state: bool = False):
     T = tile
     C = n_clusters
     CB = aabb_ref.shape[0]
+    n_in = 0 if gen_rays else N_STATE
+    state_in = refs[:n_in]
+    out_refs = refs[n_in:-1]
+    hits_ref = refs[-1]
 
     width = params_ref[16]
     height = params_ref[17]
     inv_w = params_ref[18]
     inv_h = params_ref[19]
 
-    # ---- fused ray generation (futhark/ray.fut:150-168) ----
-    pid = pl.program_id(0)
-    ids = (pid * T + jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-           ).astype(jnp.float32)
-    i = ids - jnp.floor(ids * inv_w) * width        # i = id mod w
-    j = jnp.floor(ids * inv_w)                      # j = id div w
-    u = i * inv_w
-    v = (height - j) * inv_h
-    # dir = llc + u*horizontal + v*vertical - origin
-    dx = params_ref[0] + u * params_ref[3] + v * params_ref[6] - params_ref[9]
-    dy = params_ref[1] + u * params_ref[4] + v * params_ref[7] - params_ref[10]
-    dz = params_ref[2] + u * params_ref[5] + v * params_ref[8] - params_ref[11]
-    ox = jnp.full((1, T), params_ref[9])
-    oy = jnp.full((1, T), params_ref[10])
-    oz = jnp.full((1, T), params_ref[11])
+    if gen_rays:
+        # ---- fused ray generation (futhark/ray.fut:150-168) ----
+        pid = pl.program_id(0)
+        ids = (pid * T + jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+               ).astype(jnp.float32)
+        i = ids - jnp.floor(ids * inv_w) * width    # i = id mod w
+        j = jnp.floor(ids * inv_w)                  # j = id div w
+        u = i * inv_w
+        v = (height - j) * inv_h
+        # dir = llc + u*horizontal + v*vertical - origin
+        dx = (params_ref[0] + u * params_ref[3] + v * params_ref[6]
+              - params_ref[9])
+        dy = (params_ref[1] + u * params_ref[4] + v * params_ref[7]
+              - params_ref[10])
+        dz = (params_ref[2] + u * params_ref[5] + v * params_ref[8]
+              - params_ref[11])
+        ox = jnp.full((1, T), params_ref[9])
+        oy = jnp.full((1, T), params_ref[10])
+        oz = jnp.full((1, T), params_ref[11])
+        lr0 = lg0 = lb0 = active0 = jnp.ones((1, T), jnp.float32)
+        rr0 = rg0 = rb0 = jnp.zeros((1, T), jnp.float32)
+    else:
+        # ---- continuation: load ray state written by a previous phase ----
+        (ox, oy, oz, dx, dy, dz, lr0, lg0, lb0, rr0, rg0, rb0,
+         active0) = (r[0, :, :] for r in state_in)
 
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
     eps = jnp.float32(SCENE_EPSILON)
@@ -215,6 +232,9 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 sy = blk[:, _ROW_CY:_ROW_CY + 1]
                 sz = blk[:, _ROW_CZ:_ROW_CZ + 1]
                 sr = blk[:, _ROW_RAD:_ROW_RAD + 1]
+                # (A dynamic best_t-window recheck before the dense
+                # quadratic was tried here and measured SLOWER — +80
+                # vreg-ops per visit, prunes too rarely; see PERF_NOTES.)
                 ocx = ox - sx                            # (128, T)
                 ocy = oy - sy
                 ocz = oz - sz
@@ -236,18 +256,18 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 tmin = jnp.min(t, axis=0, keepdims=True)  # (1, T)
                 improved = tmin < best_t
                 # unique winner sublane -> one-hot payload readback.
-                # (A single (8,128)@(128,T) MXU dot would be cheaper but
-                # Mosaic rejects it here: "Not implemented: Sublane
-                # broadcast"; revisit when Mosaic grows that lowering.)
+                # (A single (8,128)@(128,T) MXU dot would be cheaper
+                # but Mosaic rejects it here: "Not implemented:
+                # Sublane broadcast"; revisit when Mosaic grows it.)
                 winner = jnp.min(
                     jnp.where(t == tmin, sub_ids, LANE), axis=0,
-                    keepdims=True)                        # (1, T)
-                onehot = (sub_ids == winner).astype(jnp.float32)  # (128, T)
-                del blk_raw
+                    keepdims=True)                    # (1, T)
+                onehot = (sub_ids == winner).astype(
+                    jnp.float32)                      # (128, T)
 
                 def pick(row, acc):
-                    got = jnp.sum(blk[:, row:row + 1] * onehot, axis=0,
-                                  keepdims=True)          # (1, T)
+                    got = jnp.sum(blk[:, row:row + 1] * onehot,
+                                  axis=0, keepdims=True)   # (1, T)
                     return jnp.where(improved, got, acc)
 
                 best_t = jnp.where(improved, tmin, best_t)
@@ -259,7 +279,8 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 bcr = pick(_ROW_CR, bcr)
                 bcg = pick(_ROW_CG, bcg)
                 bcb = pick(_ROW_CB, bcb)
-                return (best_t, hit, bcx, bcy, bcz, brad, bcr, bcg, bcb)
+                return (best_t, hit, bcx, bcy, bcz, brad, bcr, bcg,
+                        bcb)
 
             return jax.lax.cond(anyhit > 0.0, do_visit, lambda x: x, carry)
 
@@ -341,19 +362,21 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         depth, n_active = state[0], state[1]
         return (depth < max_depth) & (n_active > 0.0)
 
-    zeros = jnp.zeros((1, T), jnp.float32)
-    ones = jnp.ones((1, T), jnp.float32)
-    state = (jnp.int32(0), jnp.float32(1.0), ox, oy, oz, dx, dy, dz,
-             ones, ones, ones, zeros, zeros, zeros, ones)
+    state = (jnp.int32(0), jnp.sum(active0), ox, oy, oz, dx, dy, dz,
+             lr0, lg0, lb0, rr0, rg0, rb0, active0)
     state = jax.lax.while_loop(bounce_cond, bounce_body, state)
-    rr, rg, rb = state[11], state[12], state[13]
 
-    # 255.99 quantization + packing (ray.fut:156-162)
-    pr = (255.99 * rr).astype(jnp.int32)
-    pg = (255.99 * rg).astype(jnp.int32)
-    pb = (255.99 * rb).astype(jnp.int32)
-    packed = (pr << 16) | (pg << 8) | pb                       # (1, T)
-    out_ref[0, :, :] = packed
+    if emit_state:
+        for ref, val in zip(out_refs, state[2:2 + N_STATE]):
+            ref[0, :, :] = val
+    else:
+        rr, rg, rb = state[11], state[12], state[13]
+        # 255.99 quantization + packing (ray.fut:156-162)
+        pr = (255.99 * rr).astype(jnp.int32)
+        pg = (255.99 * rg).astype(jnp.int32)
+        pb = (255.99 * rb).astype(jnp.int32)
+        packed = (pr << 16) | (pg << 8) | pb                   # (1, T)
+        out_refs[0][0, :, :] = packed
 
 
 def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
@@ -370,23 +393,88 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
         jnp.zeros((4,), jnp.float32),
     ]).astype(jnp.float32)
 
+    out = _call_megakernel(scene, params, num_tiles, tile, max_depth,
+                           far_root, interpret, gen_rays=True,
+                           emit_state=False)
+    return out.reshape(-1)[:R].reshape(height, width)
+
+
+def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
+                     interpret, gen_rays, emit_state, state_in=None):
+    """Shared pallas_call wrapper for all megakernel modes."""
     C = scene.n_clusters
     CB = scene.aabbs.shape[0]
     kernel = functools.partial(_megakernel, tile=tile, n_clusters=C,
-                               max_depth=max_depth, far_root=far_root)
+                               max_depth=max_depth, far_root=far_root,
+                               gen_rays=gen_rays, emit_state=emit_state)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                vm((C, 8, LANE), lambda i: (0, 0, 0)),
+                vm((CB, 8, LANE), lambda i: (0, 0, 0))]
+    args = [params, scene.spheres, scene.aabbs]
+    if not gen_rays:
+        in_specs += [vm((1, 1, tile), lambda i: (i, 0, 0))] * N_STATE
+        args += list(state_in)
+    # block (1, 1, tile): the last two dims equal the array dims, which
+    # Mosaic accepts, and no in-kernel reshape of the (1, T) result is
+    # needed (reshape (1,256)->(8,32) is an unsupported shape cast).
+    if emit_state:
+        out_specs = [vm((1, 1, tile), lambda i: (i, 0, 0))] * N_STATE
+        out_shape = [jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.float32)
+                     ] * N_STATE
+    else:
+        out_specs = vm((1, 1, tile), lambda i: (i, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32)
+    return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  vm((C, 8, LANE), lambda i: (0, 0, 0)),
-                  vm((CB, 8, LANE), lambda i: (0, 0, 0))],
-        # block (1, 1, tile): the last two dims equal the array dims, which
-        # Mosaic accepts, and no in-kernel reshape of the (1, T) result is
-        # needed (reshape (1,256)->(8,32) is an unsupported shape cast).
-        out_specs=vm((1, 1, tile), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((CB * LANE, 1), jnp.float32)],
         interpret=interpret,
-    )(params, scene.spheres, scene.aabbs)
-    return out.reshape(-1)[:R].reshape(height, width)
+    )(*args)
+
+
+def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
+                           height: int, max_depth: int = MAX_DEPTH,
+                           phase1_depth: int = 6, tile: int = DEFAULT_TILE,
+                           far_root: bool = True, interpret: bool = False):
+    """Two-phase render with survivor compaction between phases.
+
+    A tile's bounce loop runs until its DEEPEST ray dies, so a handful of
+    mirror-trap rays inflate whole tiles to ~50 bounces (measured ~7x the
+    depth-1 cost on rgbbox).  Phase 1 traces everything to ``phase1_depth``
+    and emits full ray state; an XLA stable sort then packs the surviving
+    (still-active) rays into a contiguous prefix, so in phase 2 only
+    ~ceil(survivors/tile) tiles do deep work and every dead tile exits
+    after one cheap loop-condition check.  Per-ray arithmetic is identical
+    to the single-phase kernel, so the image is bit-identical.
+    """
+    R = width * height
+    num_tiles = -(-R // tile)
+    Rp = num_tiles * tile
+    params = jnp.concatenate([
+        cam.llc, cam.horizontal, cam.vertical, cam.origin,
+        jnp.zeros((4,), jnp.float32),
+        jnp.asarray([width, height, 1.0 / width, 1.0 / height],
+                    jnp.float32),
+        jnp.zeros((4,), jnp.float32),
+    ]).astype(jnp.float32)
+
+    state = _call_megakernel(scene, params, num_tiles, tile, phase1_depth,
+                             far_root, interpret, gen_rays=True,
+                             emit_state=True)
+    flat = [s.reshape(Rp) for s in state]
+    active = flat[-1]
+    perm = jnp.argsort(1.0 - active, stable=True)
+    packed_state = [s[perm].reshape(num_tiles, 1, tile) for s in flat]
+    out = _call_megakernel(scene, params, num_tiles, tile,
+                           max_depth - phase1_depth, far_root, interpret,
+                           gen_rays=False, emit_state=False,
+                           state_in=packed_state)
+    # undo the permutation: result for original ray i sits at position
+    # inv[i]; scatter back with one gather by inverse permutation.
+    out_sorted = out.reshape(Rp)
+    unsorted = jnp.zeros_like(out_sorted).at[perm].set(out_sorted)
+    return unsorted[:R].reshape(height, width)

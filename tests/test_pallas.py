@@ -57,3 +57,19 @@ def test_pallas_cluster_culling_multi_block():
     ref = np.asarray(render_packed(make_closest_hit(sph, "precise"), sph,
                                    cam, 32, 32, max_depth=2, chunk=256))
     assert (img != ref).mean() < 0.01
+
+
+def test_twophase_bit_identical():
+    """Survivor-compaction rendering must reproduce single-phase bits."""
+    from raytracers_tpu.render.pallas_kernel import render_pallas_twophase
+    from raytracers_tpu import camera, scenes
+    from raytracers_tpu.render.pallas_kernel import (build_pallas_scene,
+                                                     render_pallas)
+    sc = scenes.rgbbox()
+    ps = build_pallas_scene(sc.spheres)
+    cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
+    a = np.asarray(render_pallas(ps, cam, 40, 40, max_depth=50,
+                                 interpret=True))
+    b = np.asarray(render_pallas_twophase(ps, cam, 40, 40, max_depth=50,
+                                          phase1_depth=5, interpret=True))
+    np.testing.assert_array_equal(a, b)
