@@ -130,7 +130,7 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 *refs,                    # [13 state_in] outputs, hits scratch
                 tile: int, n_clusters: int, max_depth: int,
                 far_root: bool, gen_rays: bool = True,
-                emit_state: bool = False):
+                emit_state: bool = False, block_tiled: bool = False):
     T = tile
     C = n_clusters
     CB = aabb_ref.shape[0]
@@ -147,10 +147,28 @@ def _megakernel(params_ref,               # SMEM (24,) f32
     if gen_rays:
         # ---- fused ray generation (futhark/ray.fut:150-168) ----
         pid = pl.program_id(0)
-        ids = (pid * T + jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-               ).astype(jnp.float32)
-        i = ids - jnp.floor(ids * inv_w) * width    # i = id mod w
-        j = jnp.floor(ids * inv_w)                  # j = id div w
+        lid = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(
+            jnp.float32)
+        if block_tiled:
+            # tiles are (block_h x block_w) image rectangles: image-local
+            # rays share a much tighter cluster union than scanline runs
+            # (matters for grazing-view scenes like irreg).
+            bpr = params_ref[20]       # blocks per image row
+            bw = params_ref[21]
+            bh = params_ref[22]
+            inv_bpr = params_ref[23]
+            pidf = jnp.float32(pid)
+            tr = jnp.floor(pidf * inv_bpr)
+            tc = pidf - tr * bpr
+            inv_bw = 1.0 / bw
+            by = jnp.floor(lid * inv_bw)
+            bx = lid - by * bw
+            i = tc * bw + bx
+            j = tr * bh + by
+        else:
+            ids = pid * T + lid
+            i = ids - jnp.floor(ids * inv_w) * width    # i = id mod w
+            j = jnp.floor(ids * inv_w)                  # j = id div w
         u = i * inv_w
         v = (height - j) * inv_h
         # dir = llc + u*horizontal + v*vertical - origin
@@ -381,8 +399,36 @@ def _megakernel(params_ref,               # SMEM (24,) f32
 
 def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
                   max_depth: int = MAX_DEPTH, tile: int = DEFAULT_TILE,
-                  far_root: bool = True, interpret: bool = False):
-    """Render -> packed int32 (h, w) via the megakernel."""
+                  far_root: bool = True, interpret: bool = False,
+                  block: tuple | None = None):
+    """Render -> packed int32 (h, w) via the megakernel.
+
+    ``block=(bh, bw)`` with bh*bw == tile assigns each grid program a 2-D
+    image rectangle instead of a scanline run; image-local rays share far
+    tighter cluster unions (big win on grazing-view scenes).  The image is
+    padded up to block multiples internally (padding rays hit the same
+    scene and are cropped away).
+    """
+    if block is not None:
+        bh, bw = block
+        assert bh * bw == tile, (block, tile)
+        wp = -(-width // bw) * bw
+        hp = -(-height // bh) * bh
+        num_tiles = (wp // bw) * (hp // bh)
+        params = jnp.concatenate([
+            cam.llc, cam.horizontal, cam.vertical, cam.origin,
+            jnp.zeros((4,), jnp.float32),
+            jnp.asarray([width, height, 1.0 / width, 1.0 / height],
+                        jnp.float32),
+            jnp.asarray([wp // bw, bw, bh, 1.0 / (wp // bw)], jnp.float32),
+        ]).astype(jnp.float32)
+        out = _call_megakernel(scene, params, num_tiles, tile, max_depth,
+                               far_root, interpret, gen_rays=True,
+                               emit_state=False, block_tiled=True)
+        img = (out.reshape(hp // bh, wp // bw, bh, bw)
+               .transpose(0, 2, 1, 3).reshape(hp, wp))
+        return img[:height, :width]
+
     R = width * height
     num_tiles = -(-R // tile)
     params = jnp.concatenate([
@@ -400,13 +446,15 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
 
 
 def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
-                     interpret, gen_rays, emit_state, state_in=None):
+                     interpret, gen_rays, emit_state, state_in=None,
+                     block_tiled=False):
     """Shared pallas_call wrapper for all megakernel modes."""
     C = scene.n_clusters
     CB = scene.aabbs.shape[0]
     kernel = functools.partial(_megakernel, tile=tile, n_clusters=C,
                                max_depth=max_depth, far_root=far_root,
-                               gen_rays=gen_rays, emit_state=emit_state)
+                               gen_rays=gen_rays, emit_state=emit_state,
+                               block_tiled=block_tiled)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 vm((C, 8, LANE), lambda i: (0, 0, 0)),

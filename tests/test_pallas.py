@@ -73,3 +73,15 @@ def test_twophase_bit_identical():
     b = np.asarray(render_pallas_twophase(ps, cam, 40, 40, max_depth=50,
                                           phase1_depth=5, interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_block_tiled_matches_scanline():
+    """2-D block tiling is a pure work-partitioning change: identical bits."""
+    sc = scenes.rgbbox()
+    ps = build_pallas_scene(sc.spheres)
+    cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
+    a = np.asarray(render_pallas(ps, cam, 52, 52, max_depth=3,
+                                 interpret=True))
+    b = np.asarray(render_pallas(ps, cam, 52, 52, max_depth=3, tile=256,
+                                 block=(16, 16), interpret=True))
+    np.testing.assert_array_equal(a, b)
