@@ -54,3 +54,22 @@ def test_bench_fn_and_phase_timer():
     dt = timer.measure("noop", lambda: jnp.ones(4), warmup=1, runs=2)
     assert dt >= 0
     assert "noop" in timer.report()
+
+
+def test_validate_bvh_accepts_good_and_catches_bad():
+    from raytracers_tpu.utils.validate import validate_bvh, validate_spheres
+    sc = scenes.rgbbox()
+    bvh = build_bvh(sc.spheres, leaf_size=8)
+    assert validate_bvh(bvh) == []
+    assert validate_spheres(sc.spheres) == []
+    # corrupt a node AABB -> containment violation must be reported
+    bad = bvh._replace(node_min=bvh.node_min.at[0].set(1e9))
+    assert any("AABB" in p for p in validate_bvh(bad))
+    # corrupt a LEAF skip link (the walk descends left at inner nodes, so
+    # only leaf skips steer it) -> threading violation
+    bad2 = bvh._replace(skip=bvh.skip.at[bvh.n_inner].set(-1))
+    assert any("skip" in p for p in validate_bvh(bad2))
+    # bad spheres
+    import jax.numpy as jnp
+    s = sc.spheres._replace(radius=sc.spheres.radius.at[0].set(-1.0))
+    assert validate_spheres(s)
