@@ -100,6 +100,37 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"LBVH 1M bench failed: {type(e).__name__}: {e}")
 
+    # differentiable fwd+bwd: one inverse-rendering gradient step on
+    # rgbbox at 256x256 (BASELINE.json: "fwd/bwd", configs[4])
+    try:
+        from raytracers_tpu import camera as mk_camera
+        from raytracers_tpu.grad.diff_render import trace_diff
+        from raytracers_tpu.render.bruteforce import make_closest_hit
+        from raytracers_tpu.render.tracer import primary_rays
+
+        sc = scenes.by_name("rgbbox")
+        cam = mk_camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
+        o, d = primary_rays(cam, 256, 256)
+
+        def loss(sph, o, d):
+            ch = make_closest_hit(sph, "matmul")
+            col = trace_diff(ch, sph, o, d, max_depth=8)
+            return jnp.sum(col * col)
+
+        gfn = jax.jit(jax.value_and_grad(loss))
+
+        def salted_rays(k):
+            return (sc.spheres, o + jnp.float32(k) * 1e-30, d)
+        jax.device_get(gfn(*salted_rays(-1))[0])
+        dt = bench_salted(lambda s, oo, dd: gfn(s, oo, dd)[0], salted_rays,
+                          warmup=1, runs=max(2, runs // 2))
+        details["fwdbwd_256_ms"] = dt * 1e3
+        details["fwdbwd_256_mrays_per_s"] = 256 * 256 / dt / 1e6
+        log(f"fwd+bwd rgbbox 256x256 (depth 8): {dt*1e3:.1f} ms "
+            f"({256*256/dt/1e6:.2f} Mrays/s)")
+    except Exception as e:  # pragma: no cover
+        log(f"fwd+bwd bench failed: {type(e).__name__}: {e}")
+
     value = results["rgbbox"]
     out = {
         "metric": "rgbbox_1000x1000_primary_rays_per_s",
