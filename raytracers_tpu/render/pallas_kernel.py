@@ -205,10 +205,14 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         inv_dz = 1.0 / dz
         active_b = active > 0.0
 
+        # Tiny scenes (C <= 8): every tile overlaps most clusters
+        # anyway — skip culling and the per-visit scalar cond.
+        skip_culling = C <= 8
+
         # Phase A: dense cluster-AABB culling over cluster blocks; the
         # per-cluster live-ray counts land in VMEM scratch (cluster, 1)
         # for the scalar visit-skip reads.
-        for cb in range(CB):
+        for cb in ([] if skip_culling else range(CB)):
             blk = jnp.swapaxes(
                 aabb_ref[pl.ds(cb, 1), :, :].reshape(8, LANE), 0, 1)
             mnx = blk[:, _ROW_MNX:_ROW_MNX + 1]          # (128, 1)
@@ -240,7 +244,8 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         # Phase B: visit overlapped clusters (scalar skip), dense quadratic
         # + running (t, payload) minimum with one-hot winner readback.
         def visit(c, carry):
-            anyhit = hits_ref[c, 0]
+            anyhit = (jnp.float32(1.0) if skip_culling
+                      else hits_ref[c, 0])
 
             def do_visit(carry):
                 (best_t, hit, bcx, bcy, bcz, brad, bcr, bcg, bcb) = carry
@@ -300,6 +305,8 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 return (best_t, hit, bcx, bcy, bcz, brad, bcr, bcg,
                         bcb)
 
+            if skip_culling:
+                return do_visit(carry)
             return jax.lax.cond(anyhit > 0.0, do_visit, lambda x: x, carry)
 
         zero = jnp.zeros((1, T), jnp.float32)
@@ -349,6 +356,10 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         scatter_ok = (rx * nx + ry * ny + rz * nz) > 0.0
 
         active_b = active > 0.0
+
+        # Tiny scenes (C <= 8): every tile overlaps most clusters
+        # anyway — skip culling and the per-visit scalar cond.
+        skip_culling = C <= 8
         hit_b = hit > 0.0
         bounce = active_b & hit_b & scatter_ok
         miss = active_b & ~hit_b
