@@ -73,3 +73,21 @@ def test_validate_bvh_accepts_good_and_catches_bad():
     import jax.numpy as jnp
     s = sc.spheres._replace(radius=sc.spheres.radius.at[0].set(-1.0))
     assert validate_spheres(s)
+
+
+def test_profiling_metrics():
+    from raytracers_tpu.utils.profiling import Metrics
+    m = Metrics(100, 50, "rgbbox")
+    m.phase("bvh", 0.002).phase("render", 0.01)
+    data = m.dump(None) if False else m.data
+    assert data["render_ms"] == 10.0
+    assert abs(data["mrays_per_s"] - 100 * 50 / 0.01 / 1e6) < 1e-9
+
+
+def test_distributed_single_process():
+    from raytracers_tpu.parallel.distributed import (init,
+                                                     scaling_efficiency)
+    info = init()
+    assert info["process_count"] == 1
+    assert info["global_devices"] == 8
+    assert abs(scaling_efficiency(100.0, 680.0, 8) - 0.85) < 1e-9
