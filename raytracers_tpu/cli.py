@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard rays over all available devices")
     p.add_argument("--native", action="store_true",
                    help="use the native C++ CPU renderer instead of JAX")
+    p.add_argument("--validate", action="store_true",
+                   help="run BVH/scene invariant checks before rendering")
     return p
 
 
@@ -56,10 +58,20 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     from . import scenes
-    from .image import write_ppm
+    from .image import write_image
     from .utils.timing import bench_fn
 
     scene = scenes.by_name(args.scene)
+    if args.validate:
+        from .bvh.lbvh import build_bvh
+        from .utils.validate import validate_bvh, validate_spheres
+        problems = validate_spheres(scene.spheres) + validate_bvh(
+            build_bvh(scene.spheres, leaf_size=args.leaf_size))
+        if problems:
+            print("VALIDATION FAILED:", *problems, sep="\n  ",
+                  file=sys.stderr)
+            return 2
+        print("validation: scene and BVH invariants OK", file=sys.stderr)
     print(f"Using scene {args.scene} (-s to switch).")
     print(f"Timing over average of {args.runs} runs (-r to change).")
 
@@ -101,7 +113,7 @@ def main(argv=None) -> int:
         print("-f not passed, so not writing image to file")
     else:
         print(f"Writing image to {args.imgfile}.")
-        write_ppm(args.imgfile, img)
+        write_image(args.imgfile, img)
     return 0
 
 

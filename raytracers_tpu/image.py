@@ -48,6 +48,21 @@ def write_ppm(path: str, img) -> None:
         f.write(image_to_ppm_bytes(img))
 
 
+def write_png(path: str, img) -> None:
+    """PNG output (the reference's Haskell variant writes PNG,
+    haskell/ray.hs:25); requires PIL."""
+    from PIL import Image
+    Image.fromarray(pixel_to_rgb(np.asarray(img))).save(path)
+
+
+def write_image(path: str, img) -> None:
+    """Write PPM or PNG based on the file extension."""
+    if path.lower().endswith(".png"):
+        write_png(path, img)
+    else:
+        write_ppm(path, img)
+
+
 def read_ppm(path: str) -> np.ndarray:
     """Read a P3 PPM into an (h, w) packed-int32 image (for golden tests)."""
     with open(path, "rb") as f:
