@@ -24,7 +24,6 @@ def log(msg):
 
 def main():
     import jax
-    import numpy as np
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"

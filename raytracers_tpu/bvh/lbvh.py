@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import Spheres, sphere_aabb
-from ..vec import Aabb, centre
+from ..vec import centre
 from .morton import morton_codes
 from .radix_tree import RadixTree, build_radix_tree, node_depths
 

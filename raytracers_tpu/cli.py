@@ -61,7 +61,13 @@ def main(argv=None) -> int:
     from .image import write_image
     from .utils.timing import bench_fn
 
-    scene = scenes.by_name(args.scene)
+    try:
+        scene = scenes.by_name(args.scene)
+    except ValueError as e:
+        # reference driver behaviour: friendly message + nonzero exit
+        # (futhark/main.c:78-81), not a traceback
+        print(e, file=sys.stderr)
+        return 1
     if args.validate:
         from .bvh.lbvh import build_bvh
         from .utils.validate import validate_bvh, validate_spheres

@@ -24,7 +24,6 @@ hit structure, futhark/ray.fut:76-86):
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -16,7 +16,6 @@ gradients — future work).
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax

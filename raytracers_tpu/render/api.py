@@ -11,8 +11,6 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
-import jax
-
 from ..bvh.lbvh import Bvh, build_bvh
 from ..bvh.traverse import closest_hit_bvh
 from ..geometry import MAX_DEPTH, Camera, Spheres, camera

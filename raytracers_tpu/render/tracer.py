@@ -17,7 +17,6 @@ differentiable).
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
