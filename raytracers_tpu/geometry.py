@@ -95,7 +95,10 @@ def aabb_hit(box: Aabb, origin, direction, t_min, t_max):
         far = jnp.where(inv < 0.0, t0, t1)
         tmin2 = jnp.maximum(near, tmin)
         tmax2 = jnp.minimum(far, tmax)
-        return tmin2, tmax2, tmax2 > tmin2
+        # reference polarity is fail-if ``tmax <= tmin`` (ray.fut:64-70):
+        # a NaN stage (0 * inf for an axis-parallel ray with its origin on
+        # a slab plane) compares false and therefore reports HIT.
+        return tmin2, tmax2, ~(tmax2 <= tmin2)
 
     tmin1, tmax1, ok1 = stage(box.min[..., 0], box.max[..., 0],
                               origin[..., 0], direction[..., 0], t_min, t_max)

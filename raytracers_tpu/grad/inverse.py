@@ -16,6 +16,7 @@ gradients — future work).
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple
 
 import jax
@@ -90,11 +91,18 @@ def make_train_step(optimizer: optax.GradientTransformation, mesh: Mesh,
 def recover(target_image, cam: Camera, init_spheres: Spheres, mesh: Mesh,
             steps: int = 100, lr: float = 1e-2, max_depth: int = 5,
             oracle_mode: str = "brute", trainable: Spheres | None = None,
-            callback: Callable | None = None) -> tuple[Spheres, float]:
+            callback: Callable | None = None,
+            checkpoint_dir: str | None = None,
+            checkpoint_every: int = 50) -> tuple[Spheres, float]:
     """Fit sphere parameters to a target (h, w, 3) float image.
 
     ``trainable``: optional pytree (same structure as Spheres) of 0/1 masks
     selecting which parameters receive gradient updates.
+
+    ``checkpoint_dir``: when set, the full training state (spheres + Adam
+    moments) is saved every ``checkpoint_every`` steps and the fit RESUMES
+    from the latest checkpoint found there — a restarted run continues with
+    identical optimizer state (no loss regression; tested).
     """
     h, w = target_image.shape[:2]
     origins, dirs = primary_rays(cam, w, h)
@@ -109,11 +117,23 @@ def recover(target_image, cam: Camera, init_spheres: Spheres, mesh: Mesh,
 
     optimizer = optax.adam(lr)
     state = InverseState(init_spheres, optimizer.init(init_spheres))
+    start = 0
+    if checkpoint_dir is not None:
+        from ..utils import checkpoint as ckpt
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        latest = ckpt.latest_checkpoint(checkpoint_dir)
+        if latest is not None:
+            state, start = ckpt.load_train_state(latest, state)
     step = jax.jit(make_train_step(optimizer, mesh, max_depth, oracle_mode,
                                    trainable))
     loss = jnp.inf
-    for i in range(steps):
+    for i in range(start, steps):
         state, loss = step(state, origins, dirs, target)
         if callback is not None:
             callback(i, float(loss), state.spheres)
+        if (checkpoint_dir is not None
+                and ((i + 1) % checkpoint_every == 0 or i + 1 == steps)):
+            from ..utils import checkpoint as ckpt
+            ckpt.save_train_state(
+                os.path.join(checkpoint_dir, f"ckpt_{i + 1}"), state, i + 1)
     return state.spheres, float(loss)

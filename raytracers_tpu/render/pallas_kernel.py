@@ -160,15 +160,28 @@ def _megakernel(params_ref,               # SMEM (24,) f32
             pidf = jnp.float32(pid)
             tr = jnp.floor(pidf * inv_bpr)
             tc = pidf - tr * bpr
+            # f32-reciprocal div/mod can be off by one ulp; renormalise
+            tc, tr = (jnp.where(tc >= bpr, tc - bpr, tc),
+                      jnp.where(tc >= bpr, tr + 1.0, tr))
+            tc, tr = (jnp.where(tc < 0.0, tc + bpr, tc),
+                      jnp.where(tc < 0.0, tr - 1.0, tr))
             inv_bw = 1.0 / bw
             by = jnp.floor(lid * inv_bw)
             bx = lid - by * bw
+            bx, by = (jnp.where(bx >= bw, bx - bw, bx),
+                      jnp.where(bx >= bw, by + 1.0, by))
+            bx, by = (jnp.where(bx < 0.0, bx + bw, bx),
+                      jnp.where(bx < 0.0, by - 1.0, by))
             i = tc * bw + bx
             j = tr * bh + by
         else:
             ids = pid * T + lid
-            i = ids - jnp.floor(ids * inv_w) * width    # i = id mod w
             j = jnp.floor(ids * inv_w)                  # j = id div w
+            i = ids - j * width                         # i = id mod w
+            i, j = (jnp.where(i >= width, i - width, i),
+                    jnp.where(i >= width, j + 1.0, j))
+            i, j = (jnp.where(i < 0.0, i + width, i),
+                    jnp.where(i < 0.0, j - 1.0, j))
         u = i * inv_w
         v = (height - j) * inv_h
         # dir = llc + u*horizontal + v*vertical - origin
@@ -234,7 +247,9 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 far = jnp.where(neg, t0, t1)
                 t_lo = jnp.maximum(near, t_lo)
                 t_hi = jnp.minimum(far, t_hi)
-                stage_ok = t_hi > t_lo
+                # fail-if polarity (ray.fut:64-70): NaN stages report HIT,
+                # which is also the conservative choice for culling.
+                stage_ok = ~(t_hi <= t_lo)
                 ok = stage_ok if ok is None else (ok & stage_ok)
             ok = ok & jnp.broadcast_to(active_b, ok.shape)
             counts = jnp.sum(ok.astype(jnp.float32), axis=1,

@@ -22,7 +22,9 @@ node (slab test → left/skip) or runs one leaf round, chosen by a scalar
 policy (leaf round when ≥1/4 of live lanes wait at leaves, or no tree
 lanes remain).  Lanes park at -1 when their traversal ends; the loop exits
 when all are parked.  Scenes with more than 128 clusters must use the
-dense kernel (auto-selected in render/api.py).
+dense kernel.  NOTE: this kernel is an experimental entry point used
+directly (tests/benchmarks only); render/api.py mode='pallas' always uses
+the dense megakernel, which measured faster on TPU (docs/PERF_NOTES.md).
 
 Semantics identical to the reference (same quadratic, windows, two-phase
 re-intersection and shading as pallas_kernel.py).
@@ -136,15 +138,28 @@ def _kernel(params_ref, inner_ref, leaf_skip_ref, sph_ref, out_ref,
         pidf = jnp.float32(pid)
         tr = jnp.floor(pidf * inv_bpr)
         tc = pidf - tr * bpr
+        tc, tr = (jnp.where(tc >= bpr, tc - bpr, tc),
+                  jnp.where(tc >= bpr, tr + 1.0, tr))
+        tc, tr = (jnp.where(tc < 0.0, tc + bpr, tc),
+                  jnp.where(tc < 0.0, tr - 1.0, tr))
         inv_bw = 1.0 / bw
         by = jnp.floor(lid * inv_bw)
         bx = lid - by * bw
+        bx, by = (jnp.where(bx >= bw, bx - bw, bx),
+                  jnp.where(bx >= bw, by + 1.0, by))
+        bx, by = (jnp.where(bx < 0.0, bx + bw, bx),
+                  jnp.where(bx < 0.0, by - 1.0, by))
         i = tc * bw + bx
         j = tr * bh + by
     else:
         ids = pid * tile + lid
-        i = ids - jnp.floor(ids * inv_w) * width
         j = jnp.floor(ids * inv_w)
+        i = ids - j * width
+        # f32-reciprocal div/mod can be off by one ulp; renormalise
+        i, j = (jnp.where(i >= width, i - width, i),
+                jnp.where(i >= width, j + 1.0, j))
+        i, j = (jnp.where(i < 0.0, i + width, i),
+                jnp.where(i < 0.0, j - 1.0, j))
     u = i * inv_w
     v = (height - j) * inv_h
     dx = params_ref[0] + u * params_ref[3] + v * params_ref[6] - params_ref[9]
@@ -208,7 +223,8 @@ def _kernel(params_ref, inner_ref, leaf_skip_ref, sph_ref, out_ref,
                 far = jnp.where(neg, t0, t1)
                 t_lo = jnp.maximum(near, t_lo)
                 t_hi = jnp.minimum(far, t_hi)
-                s_ok = t_hi > t_lo
+                # fail-if polarity (ray.fut:64-70): NaN stages -> HIT
+                s_ok = ~(t_hi <= t_lo)
                 ok = s_ok if ok is None else (ok & s_ok)
             nxt = jnp.where(ok, left, skip)
             cur = jnp.where(at_tree, nxt, cur)

@@ -91,3 +91,46 @@ def test_distributed_single_process():
     assert info["process_count"] == 1
     assert info["global_devices"] == 8
     assert abs(scaling_efficiency(100.0, 680.0, 8) - 0.85) < 1e-9
+
+
+def test_npz_suffix_normalisation(tmp_path):
+    # save('ckpt')/load('ckpt') must round-trip (np.savez appends .npz)
+    s = Spheres(jnp.ones((2, 3)), jnp.ones((2,)), jnp.zeros((2, 3)))
+    p = str(tmp_path / "bare")
+    save_spheres(p, s, step=1)
+    s2, step, _ = load_spheres(p)
+    assert step == 1
+
+
+def test_train_state_resume_no_regression(tmp_path):
+    """A fit resumed from a checkpoint must continue exactly: the optimizer
+    state (Adam moments) is restored, so losses after resume match an
+    uninterrupted run step for step."""
+    import jax
+    from jax.sharding import Mesh
+    from raytracers_tpu import camera as mk_camera
+    from raytracers_tpu.grad.inverse import recover
+    from raytracers_tpu.render.api import prepare_scene
+    from raytracers_tpu.render.api import render_float
+
+    sc = scenes.rgbbox()
+    cam = mk_camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
+    prep = prepare_scene(sc, 16, 16)
+    target = np.asarray(render_float(prep, 16, 16, mode="brute",
+                                     max_depth=2))
+    init = sc.spheres._replace(color=jnp.clip(sc.spheres.color + 0.2, 0, 1))
+    mesh = Mesh(np.array(jax.devices()[:1]), ("rays",))
+
+    losses_a = []
+    recover(target, cam, init, mesh, steps=4, lr=5e-2, max_depth=2,
+            callback=lambda i, l, s: losses_a.append(l))
+
+    # interrupted run: 2 steps with checkpointing, then resume to 4
+    ckdir = str(tmp_path / "ck")
+    recover(target, cam, init, mesh, steps=2, lr=5e-2, max_depth=2,
+            checkpoint_dir=ckdir, checkpoint_every=1)
+    losses_b = []
+    recover(target, cam, init, mesh, steps=4, lr=5e-2, max_depth=2,
+            checkpoint_dir=ckdir, checkpoint_every=10,
+            callback=lambda i, l, s: losses_b.append(l))
+    np.testing.assert_allclose(losses_b, losses_a[2:], rtol=1e-5)
