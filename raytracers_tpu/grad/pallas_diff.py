@@ -1,0 +1,130 @@
+"""Differentiable rendering through the Pallas megakernel (the north-star
+fwd+bwd path, BASELINE.json).
+
+Structure (the reference's two-phase hit makes this clean —
+futhark/ray.fut:76-86):
+
+  forward  — the megakernel runs at full speed in ``record`` mode,
+             emitting float colours AND a compact per-bounce path record
+             (winner sphere slot / miss / absorb / inactive, int32
+             (D, R)).  Discrete outputs carry no gradient.
+
+  backward — the recorded paths are replayed differentiably by the
+             existing XLA replay (grad/diff_render.replay_paths): all
+             continuous quantities (re-intersection t, hit point, normal,
+             reflection, attenuation, sky) are recomputed from the live
+             sphere parameters, and ``jax.vjp`` pulls the image cotangent
+             back to d(loss)/d(center, radius, colour) — and through the
+             primary rays to the camera.
+
+This is exact away from visibility discontinuities: the true gradient
+does not move the discrete path there (same argument as diff_render.py).
+The kernel records winners as SORTED sphere slots; they are converted to
+original sphere indices with the build's order table, so gradients land
+on the caller's sphere array directly.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import MAX_DEPTH, Camera, Spheres
+from ..render.pallas_kernel import LANE, build_pallas_scene, render_pallas_record
+from ..render.tracer import primary_rays
+from .diff_render import (EV_ABSORB, EV_BOUNCE, EV_INACTIVE, EV_MISS,
+                          replay_paths)
+
+
+def _rec_to_path(rec_orig):
+    """(D, R) kernel record -> (idxs, events) for replay_paths."""
+    idxs = jnp.maximum(rec_orig, 0).astype(jnp.int32)
+    events = jnp.where(
+        rec_orig >= 0, EV_BOUNCE,
+        jnp.where(rec_orig == -1, EV_MISS,
+                  jnp.where(rec_orig == -3, EV_ABSORB,
+                            EV_INACTIVE))).astype(jnp.uint8)
+    return idxs, events
+
+
+def make_render_pallas_diff(width: int, height: int,
+                            max_depth: int = MAX_DEPTH, tile: int = 512,
+                            interpret: bool = False,
+                            bwd_chunks: int = 1):
+    """Build a differentiable ``f(spheres, cam) -> colours (h, w, 3)``
+    whose forward pass is the Pallas megakernel.
+
+    ``bwd_chunks`` splits the backward replay into ray chunks to bound
+    peak memory at large resolutions (the replay scan keeps per-step
+    residuals alive).
+    """
+
+    @jax.custom_vjp
+    def render_diff(spheres: Spheres, cam: Camera):
+        colours, _ = _forward(spheres, cam)
+        return colours
+
+    def _forward(spheres, cam):
+        scene = build_pallas_scene(spheres)
+        colours, rec = render_pallas_record(
+            scene, cam, width, height, max_depth=max_depth, tile=tile,
+            interpret=interpret)
+        order_flat = scene.order.reshape(-1)
+        # winner slots -> original sphere indices (padding slots are
+        # radius-0 and can never win, so order >= 0 wherever rec >= 0)
+        rec_orig = jnp.where(rec >= 0,
+                             order_flat[jnp.clip(rec, 0, None)], rec)
+        return colours, rec_orig
+
+    def fwd(spheres, cam):
+        colours, rec_orig = _forward(spheres, cam)
+        return colours, (spheres, cam, rec_orig)
+
+    def bwd(res, g):
+        spheres, cam, rec_orig = res
+        o, d = primary_rays(cam, width, height)
+        R = o.shape[0]
+        idxs, events = _rec_to_path(rec_orig)
+        gflat = g.reshape(-1, 3)
+
+        def chunk_grads(args):
+            o_c, d_c, idx_c, ev_c, g_c = args
+            _, vjp = jax.vjp(
+                lambda sph, oo, dd: replay_paths(sph, oo, dd, idx_c, ev_c),
+                spheres, o_c, d_c)
+            return vjp(g_c)
+
+        if bwd_chunks <= 1:
+            gs, go, gd = chunk_grads((o, d, idxs, events, gflat))
+        else:
+            ck = -(-R // bwd_chunks)
+            pad = ck * bwd_chunks - R
+
+            def pad0(x, axis):
+                if pad == 0:
+                    return x
+                widths = [(0, 0)] * x.ndim
+                widths[axis] = (0, pad)
+                return jnp.pad(x, widths)
+
+            oo = pad0(o, 0).reshape(bwd_chunks, ck, 3)
+            dd = pad0(d, 0).reshape(bwd_chunks, ck, 3)
+            ii = pad0(idxs, 1).reshape(max_depth, bwd_chunks, ck) \
+                .transpose(1, 0, 2)
+            ee = pad0(events, 1).reshape(max_depth, bwd_chunks, ck) \
+                .transpose(1, 0, 2)
+            gg = pad0(gflat, 0).reshape(bwd_chunks, ck, 3)
+            gs_all, go_all, gd_all = jax.lax.map(
+                chunk_grads, (oo, dd, ii, ee, gg))
+            gs = jax.tree.map(lambda x: jnp.sum(x, axis=0), gs_all)
+            go = go_all.reshape(-1, 3)[:R]
+            gd = gd_all.reshape(-1, 3)[:R]
+
+        # pull the ray cotangents back to the camera
+        _, vjp_rays = jax.vjp(lambda c: primary_rays(c, width, height), cam)
+        (gcam,) = vjp_rays((go, gd))
+        return gs, gcam
+
+    render_diff.defvjp(fwd, bwd)
+    return render_diff

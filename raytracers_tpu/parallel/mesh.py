@@ -67,11 +67,58 @@ def trace_sharded(prepared: PreparedScene, origins, dirs, mesh: Mesh,
     return colours[:R]
 
 
+def render_pallas_sharded(scene, cam, height: int, width: int,
+                          mesh: Mesh | None = None,
+                          max_depth: int = MAX_DEPTH,
+                          tile: int = 512, block: tuple = (32, 16),
+                          interpret: bool = False):
+    """Sharded megakernel render: each device renders a horizontal slab
+    of the image (its share of the Pallas tile grid); scene + BVH tables
+    replicated; zero collectives (rays are independent).  Bit-identical
+    to the single-device render: the slab boundary falls on block-tile
+    rows, so every pixel sees the same (i, j) -> ray -> tile math.
+
+    ``scene`` is a PallasScene (render.pallas_kernel).  The per-shard row
+    offset is a runtime parameter, so one compiled kernel serves every
+    shard count.
+    """
+    from ..render.pallas_kernel import render_pallas
+
+    mesh = mesh if mesh is not None else ray_mesh()
+    n = mesh.devices.size
+    bh = block[0] if block is not None else 1
+    rows_per = -(-height // (n * bh)) * bh       # slab height, block-aligned
+    hp = rows_per * n
+    offsets = (jnp.arange(n, dtype=jnp.float32) * rows_per).reshape(n, 1)
+
+    def shard_fn(offs, scene, cam):
+        slab = render_pallas(scene, cam, width, rows_per,
+                             max_depth=max_depth, tile=tile, block=block,
+                             interpret=interpret, row0=offs[0, 0],
+                             total_height=height)
+        return slab.reshape(1, rows_per, width)
+
+    rep_scene = jax.tree.map(lambda _: P(), scene)
+    rep_cam = jax.tree.map(lambda _: P(), cam)
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P("rays"), rep_scene, rep_cam),
+                       out_specs=P("rays"), check_vma=False)
+    img = fn(offsets, scene, cam).reshape(hp, width)
+    return img[:height]
+
+
 def render_sharded(prepared: PreparedScene, height: int, width: int,
                    mesh: Mesh | None = None, mode: str = "bvh",
-                   max_depth: int = MAX_DEPTH):
+                   max_depth: int = MAX_DEPTH, interpret: bool = False):
     """Full-image sharded render -> packed int32 (h, w)."""
     mesh = mesh if mesh is not None else ray_mesh()
+    if mode == "pallas":
+        if prepared.pallas is None:
+            raise ValueError("prepare_scene(..., with_pallas=True) required "
+                             "for mode='pallas'")
+        return render_pallas_sharded(prepared.pallas, prepared.cam, height,
+                                     width, mesh, max_depth,
+                                     interpret=interpret)
     origins, dirs = primary_rays(prepared.cam, width, height)
     colours = trace_sharded(prepared, origins, dirs, mesh, mode, max_depth)
     return colour_to_pixel(colours.reshape(height, width, 3))

@@ -1,36 +1,43 @@
 """Pallas TPU megakernel: fused ray-gen + culling + intersection + shading.
 
-The BASELINE.json north-star kernel, designed for the TPU execution model
-rather than translated from the reference's per-thread GPU code:
+v4 architecture (v2's layout discipline + a microbenchmark-driven visit):
 
 * **Grid over ray tiles** — ``grid=(num_tiles,)``, each program owns T
-  consecutive pixels.  The ≤50-bounce loop lives INSIDE the kernel
-  (`lax.while_loop`) with a per-tile early exit: a sky tile costs one
-  bounce; only mirror-trap tiles run deep.  This is the tile-level load
-  balancing the irreg scene demands (SURVEY.md §7 "hard parts").
+  pixels.  The ≤50-bounce loop lives INSIDE the kernel (`lax.while_loop`)
+  with a per-tile early exit: a sky tile costs one bounce; only
+  mirror-trap tiles run deep (the tile-level load balancing the irreg
+  scene demands, SURVEY.md §7 "hard parts").
 
 * **Rays on lanes × spheres on sublanes** — per-ray state is (1, T)
-  vectors (2 vregs each, so the bounce loop carries stay tiny) and the
-  dense closest-hit search is (128, T) vector work per 128-sphere cluster.
-  This orientation means every broadcast between state and pair space is
-  layout-preserving — no per-op relayouts.  (Two earlier orientations
-  failed: (tile,1) state made loop carries explode to ~500 vregs and
-  Mosaic's scf.for legalization gave up; (8,W,128) pair math forced a
-  transposing relayout on every state↔pair broadcast and ran 40x slow.)
+  vectors; the dense closest-hit search is (128, T) vector work per
+  128-sphere cluster.  Every broadcast between state and pair space is
+  layout-preserving (docs/PERF_NOTES.md lesson 4).
 
-* **Cluster culling, packet-traversal style** — spheres are Morton-sorted
-  and grouped into 128-wide clusters (bvh/lbvh.py order); each bounce
-  slab-tests all cluster AABBs for the whole tile (dense (128, T) ops per
-  128-cluster block), then visits only clusters some live ray overlaps,
-  skipped with a scalar `lax.cond` on a VMEM-scratch hit count — the TPU
-  analogue of packet traversal (whole-tile descent), replacing the
-  reference's per-ray stack walk (futhark/bvh.fut:61-84).
+* **Packed-key closest hit** — each visit computes the candidate ``t``
+  for 128 spheres, packs it as ``(float_bits(t) & ~0x7F) | lane`` and
+  takes ONE min-reduce: the int32 order of positive floats makes
+  (t, lane) lexicographic min = closest-hit argmin with lowest-index
+  tie-break.  This replaces the per-visit (tmin, winner, 7-field
+  readback) bookkeeping of v2 — measured 395 cycles for a naive
+  128-sublane reduce, ~90 for the two-stage slice tree used here.
+  Cost: t is floored by ≤2^-16 relative (7 mantissa bits), absorbed by
+  the reference's own +1.0 re-intersection window (ray.fut:84-85) for
+  any t < 2^15; hit/miss classification is exactly unchanged.
 
-* **Gather-free winner readback** — each visited cluster updates a running
-  minimum and pulls the winning sphere's 7 parameters out with a one-hot
-  (sublane == winner) contraction, exact because winner ids are unique.
-  Sphere/AABB fields are stored as packed (C, 8, 128) blocks: one dynamic
-  major-dim read + one (8,128)->(128,8) transpose per visited cluster.
+* **One-hot payload via MXU** — the winner's 8 sphere fields are read
+  back with a single (8,128)@(128,T) dot against the one-hot mask
+  (exact: one nonzero term per output, 3-pass bf16 covers f32 — see
+  docs/MICROBENCH.json ``dot_payload``); the MXU runs concurrently with
+  the VPU so the readback largely hides behind the next visit.
+  Pair-term MXU dots were measured SLOWER than the VPU quadratic at
+  HIGHEST precision (683 cycles vs ~200) and are not used.
+
+* **Cluster culling with active-ray masking** — per bounce, a min/max
+  slab test over cluster-AABB blocks gated by the live-ray mask, so
+  late bounces with few survivors visit few clusters; per-cluster flags
+  land in VMEM scratch for the scalar visit skip.  NaN slab stages
+  report HIT (reference fail-if polarity, ray.fut:64-70 — also the
+  conservative direction for culling).
 
 * Shading (mirror scatter, sky miss, 255.99 quantization) is fused; the
   kernel emits final packed int32 pixels.
@@ -38,7 +45,8 @@ rather than translated from the reference's per-thread GPU code:
 Reference semantics preserved: open-interval quadratic with near-then-far
 root (futhark/ray.fut:32-51), scene_epsilon search window + widened-window
 re-intersection (ray.fut:76-86), bounce/absorb/miss rules (ray.fut:126-148),
-pixel mapping u=i/w, v=(h-j)/h (ray.fut:150-168).
+pixel mapping u=i/w, v=(h-j)/h (ray.fut:150-168).  Depth-1 renders are
+bit-exact vs the brute-force oracle (tests/test_pallas.py).
 """
 from __future__ import annotations
 
@@ -56,38 +64,78 @@ from ..geometry import (MAX_DEPTH, SCENE_EPSILON, T_MAX, T_MIN, Camera,
                         Spheres)
 
 LANE = 128            # spheres per cluster == TPU lane width
-DEFAULT_TILE = 512    # rays per grid program (measured best of 256/512/1024)
+DEFAULT_TILE = 512    # rays per grid program
 _BIG = float(T_MAX)   # python float: a jnp constant here would be captured
 
-# rows of the packed per-cluster sphere block
-_ROW_CX, _ROW_CY, _ROW_CZ, _ROW_RAD = 0, 1, 2, 3
-_ROW_CR, _ROW_CG, _ROW_CB = 4, 5, 6
-# rows of the packed per-block AABB block
-_ROW_MNX, _ROW_MNY, _ROW_MNZ, _ROW_MXX, _ROW_MXY, _ROW_MXZ = 0, 1, 2, 3, 4, 5
+# columns of the per-cluster sphere field layout
+_F_CX, _F_CY, _F_CZ, _F_RAD = 0, 1, 2, 3
+_F_CR, _F_CG, _F_CB, _F_R2 = 4, 5, 6, 7
+# columns of the per-block AABB layout
+_A_MNX, _A_MNY, _A_MNZ, _A_MXX, _A_MXY, _A_MXZ = 0, 1, 2, 3, 4, 5
+
+_KEY_MASK = ~np.int32(LANE - 1)                       # clear 7 low bits
+_HIT_TH = int(np.float32(_BIG).view(np.int32) & _KEY_MASK)
 
 
 class PallasScene(NamedTuple):
     """Scene laid out for the megakernel.
 
     C = number of 128-sphere clusters; CB = ceil(C / 128) cluster blocks.
-    ``spheres``: (C, 8, 128) f32 — rows cx, cy, cz, rad, cr, cg, cb, pad;
-    lane = sphere-in-cluster.
-    ``aabbs``: (CB, 8, 128) f32 — rows amnx..amxz, pad, pad; lane = cluster
-    (padding clusters carry an empty box: min=+inf, max=-inf, never hit).
+    ``sphT``:  (C, 128, 8) f32 — [cluster, sphere-in-cluster, field] with
+    fields cx, cy, cz, rad, cr, cg, cb, r^2.  Column slices give the
+    (128, 1) per-sphere vectors the VPU quadratic wants — no in-kernel
+    transposes.
+    ``sph8``:  (C, 8, 128) f32 — same data transposed, the LHS of the
+    one-hot payload matmul.
+    ``aabbT``: (CB, 128, 8) f32 — [block, cluster-in-block, face] with
+    faces mnx..mxz (padding clusters carry an empty box min=+inf,
+    max=-inf; under the min/max slab they test as always-hit, but their
+    flags are never read: the visit loop is bounded by C).
     ``order`` maps (cluster*128 + lane) -> original sphere index (-1 pad).
     """
-    spheres: jnp.ndarray
-    aabbs: jnp.ndarray
+    sphT: jnp.ndarray
+    sph8: jnp.ndarray
+    aabbT: jnp.ndarray
     order: jnp.ndarray
 
     @property
     def n_clusters(self) -> int:
-        return self.spheres.shape[0]
+        return self.sphT.shape[0]
 
 
 def build_pallas_scene(sph: Spheres) -> PallasScene:
     """Morton-sort + cluster the scene into the packed kernel layout."""
-    bvh = build_bvh(sph, leaf_size=LANE)
+    n = sph.center.shape[0]
+    if n <= LANE:
+        # single cluster: no hierarchy to build; pad to the lane width
+        # with radius-0 spheres CO-LOCATED WITH THE LAST REAL SPHERE
+        # (build_bvh would silently shrink the leaf size below LANE for
+        # tiny scenes).  The co-location matters: a radius-0 sphere can
+        # still register a hit when the quadratic's disc rounds to +1ulp
+        # for a ray passing exactly through its centre; inside a real
+        # sphere such a phantom hit always loses the closest-hit min.
+        pad = LANE - n
+        s = Spheres(
+            jnp.concatenate([sph.center,
+                             jnp.repeat(sph.center[-1:], pad, axis=0)]),
+            jnp.pad(sph.radius, (0, pad)),
+            jnp.pad(sph.color, ((0, pad), (0, 0))))
+        order = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad),
+                        constant_values=-1)
+        r = sph.radius[:, None]
+        leaf_min = jnp.min(sph.center - r, axis=0, keepdims=True)
+        leaf_max = jnp.max(sph.center + r, axis=0, keepdims=True)
+
+        class _B:
+            pass
+        bvh = _B()
+        bvh.n_leaves = 1
+        bvh.spheres = s
+        bvh.order = order
+        bvh.leaf_min = leaf_min
+        bvh.leaf_max = leaf_max
+    else:
+        bvh = build_bvh(sph, leaf_size=LANE)
     C = bvh.n_leaves
     CB = -(-C // LANE)
     s = bvh.spheres
@@ -95,54 +143,78 @@ def build_pallas_scene(sph: Spheres) -> PallasScene:
     def field(x):
         return x.reshape(C, LANE)
 
-    packed = jnp.stack([
+    sph8 = jnp.stack([
         field(s.center[:, 0]), field(s.center[:, 1]), field(s.center[:, 2]),
         field(s.radius),
         field(s.color[:, 0]), field(s.color[:, 1]), field(s.color[:, 2]),
-        jnp.zeros((C, LANE), jnp.float32),
+        field(s.radius * s.radius),
     ], axis=1)                                            # (C, 8, 128)
+    sphT = jnp.swapaxes(sph8, 1, 2)                       # (C, 128, 8)
 
-    def pad_to_blocks(x, fill):
-        pad = CB * LANE - C
-        return jnp.pad(x, (0, pad), constant_values=fill).reshape(CB, LANE)
+    # cull rows per block: for small scenes the slab test runs on
+    # (CR, T) arrays instead of (128, T) — at rgbbox's C=4 that is 2
+    # vregs per op instead of 64 (the padding rows were 97% of the
+    # culling cost)
+    CR = max(8, -(-C // 8) * 8) if C <= LANE else LANE
+    CB = -(-C // CR)
 
-    aabbs = jnp.stack([
-        pad_to_blocks(bvh.leaf_min[:, 0], np.inf),
-        pad_to_blocks(bvh.leaf_min[:, 1], np.inf),
-        pad_to_blocks(bvh.leaf_min[:, 2], np.inf),
-        pad_to_blocks(bvh.leaf_max[:, 0], -np.inf),
-        pad_to_blocks(bvh.leaf_max[:, 1], -np.inf),
-        pad_to_blocks(bvh.leaf_max[:, 2], -np.inf),
-        jnp.zeros((CB, LANE), jnp.float32),
-        jnp.zeros((CB, LANE), jnp.float32),
-    ], axis=1)                                            # (CB, 8, 128)
+    def pad_clusters(x, fill):
+        pad = CB * CR - C
+        return jnp.pad(x, (0, pad), constant_values=fill)
 
-    return PallasScene(spheres=packed, aabbs=aabbs,
+    aabbT = jnp.stack([
+        pad_clusters(bvh.leaf_min[:, 0], np.inf),
+        pad_clusters(bvh.leaf_min[:, 1], np.inf),
+        pad_clusters(bvh.leaf_min[:, 2], np.inf),
+        pad_clusters(bvh.leaf_max[:, 0], -np.inf),
+        pad_clusters(bvh.leaf_max[:, 1], -np.inf),
+        pad_clusters(bvh.leaf_max[:, 2], -np.inf),
+        jnp.zeros((CB * CR,), jnp.float32),
+        jnp.zeros((CB * CR,), jnp.float32),
+    ], axis=1).reshape(CB, CR, 8)                         # (CB, CR, 8)
+
+    return PallasScene(sphT=sphT, sph8=sph8, aabbT=aabbT,
                        order=bvh.order.reshape(C, LANE))
 
 
 N_STATE = 13   # ox oy oz dx dy dz lr lg lb rr rg rb active
 
 
+def _min_sublanes(x):
+    """(128, T) -> (1, T) min via a static slice tree: 4 halvings to
+    (8, T), then the in-vreg sublane reduce (≈90 cycles vs 395 naive)."""
+    m = x
+    for s in (64, 32, 16, 8):
+        m = jnp.minimum(m[:s, :], m[s:2 * s, :])
+    return jnp.min(m, axis=0, keepdims=True)
+
+
 def _megakernel(params_ref,               # SMEM (24,) f32
-                sph_ref,                  # VMEM (C, 8, 128) f32
-                aabb_ref,                 # VMEM (CB, 8, 128) f32
+                sphT_ref,                 # VMEM (C, 128, 8) f32
+                sph8_ref,                 # VMEM (C, 8, 128) f32
+                aabb_ref,                 # VMEM (CB, 128, 8) f32
                 *refs,                    # [13 state_in] outputs, hits scratch
                 tile: int, n_clusters: int, max_depth: int,
-                far_root: bool, gen_rays: bool = True,
-                emit_state: bool = False, block_tiled: bool = False):
+                far_root: bool, cull: bool, gen_rays: bool = True,
+                emit_state: bool = False, block_tiled: bool = False,
+                emit_float: bool = False, record: bool = False):
     T = tile
     C = n_clusters
     CB = aabb_ref.shape[0]
+    CR = aabb_ref.shape[1]            # cull rows per block (8..128)
     n_in = 0 if gen_rays else N_STATE
     state_in = refs[:n_in]
     out_refs = refs[n_in:-1]
     hits_ref = refs[-1]
+    if record:
+        rec_ref = out_refs[-1]
+        out_refs = out_refs[:-1]
 
     width = params_ref[16]
     height = params_ref[17]
     inv_w = params_ref[18]
     inv_h = params_ref[19]
+    row_off = params_ref[12]   # first image row of this shard (0 unsharded)
 
     if gen_rays:
         # ---- fused ray generation (futhark/ray.fut:150-168) ----
@@ -161,27 +233,28 @@ def _megakernel(params_ref,               # SMEM (24,) f32
             tr = jnp.floor(pidf * inv_bpr)
             tc = pidf - tr * bpr
             # f32-reciprocal div/mod can be off by one ulp; renormalise
-            tc, tr = (jnp.where(tc >= bpr, tc - bpr, tc),
-                      jnp.where(tc >= bpr, tr + 1.0, tr))
-            tc, tr = (jnp.where(tc < 0.0, tc + bpr, tc),
-                      jnp.where(tc < 0.0, tr - 1.0, tr))
+            # (arithmetic form — Mosaic lacks some select_n broadcasts)
+            ov = (tc >= bpr).astype(jnp.float32)
+            un = (tc < 0.0).astype(jnp.float32)
+            tc = tc - ov * bpr + un * bpr
+            tr = tr + ov - un
             inv_bw = 1.0 / bw
             by = jnp.floor(lid * inv_bw)
             bx = lid - by * bw
-            bx, by = (jnp.where(bx >= bw, bx - bw, bx),
-                      jnp.where(bx >= bw, by + 1.0, by))
-            bx, by = (jnp.where(bx < 0.0, bx + bw, bx),
-                      jnp.where(bx < 0.0, by - 1.0, by))
+            ov = (bx >= bw).astype(jnp.float32)
+            un = (bx < 0.0).astype(jnp.float32)
+            bx = bx - ov * bw + un * bw
+            by = by + ov - un
             i = tc * bw + bx
-            j = tr * bh + by
+            j = tr * bh + by + row_off
         else:
             ids = pid * T + lid
             j = jnp.floor(ids * inv_w)                  # j = id div w
             i = ids - j * width                         # i = id mod w
-            i, j = (jnp.where(i >= width, i - width, i),
-                    jnp.where(i >= width, j + 1.0, j))
-            i, j = (jnp.where(i < 0.0, i + width, i),
-                    jnp.where(i < 0.0, j - 1.0, j))
+            ov = (i >= width).astype(jnp.float32)
+            un = (i < 0.0).astype(jnp.float32)
+            i = i - ov * width + un * width
+            j = j + ov - un + row_off
         u = i * inv_w
         v = (height - j) * inv_h
         # dir = llc + u*horizontal + v*vertical - origin
@@ -201,16 +274,14 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         (ox, oy, oz, dx, dy, dz, lr0, lg0, lb0, rr0, rg0, rb0,
          active0) = (r[0, :, :] for r in state_in)
 
-    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    lane_col = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
     eps = jnp.float32(SCENE_EPSILON)
+    key_mask = jnp.int32(_KEY_MASK)
+    krun_init = jnp.int32(_HIT_TH | (LANE - 1))
 
     def closest_hit(ox, oy, oz, dx, dy, dz, active):
-        """Culled dense search.  All returns (1, T):
-        (best_t, hit_mask(f32), scx, scy, scz, srad, sr, sg, sb).
-
-        ``active`` is a f32 0/1 mask (i1 vectors cannot be loop-carried —
-        Mosaic scf.for legalization rejects them).
-        """
+        """Culled packed-key search.  Returns (krun (1,T) int32,
+        pay (8,T) f32 with the winner's fields)."""
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
         inv_dx = 1.0 / dx
@@ -218,125 +289,121 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         inv_dz = 1.0 / dz
         active_b = active > 0.0
 
-        # Tiny scenes (C <= 8): every tile overlaps most clusters
-        # anyway — skip culling and the per-visit scalar cond.
-        skip_culling = C <= 8
-
-        # Phase A: dense cluster-AABB culling over cluster blocks; the
-        # per-cluster live-ray counts land in VMEM scratch (cluster, 1)
-        # for the scalar visit-skip reads.
-        for cb in ([] if skip_culling else range(CB)):
-            blk = jnp.swapaxes(
-                aabb_ref[pl.ds(cb, 1), :, :].reshape(8, LANE), 0, 1)
-            mnx = blk[:, _ROW_MNX:_ROW_MNX + 1]          # (128, 1)
-            mny = blk[:, _ROW_MNY:_ROW_MNY + 1]
-            mnz = blk[:, _ROW_MNZ:_ROW_MNZ + 1]
-            mxx = blk[:, _ROW_MXX:_ROW_MXX + 1]
-            mxy = blk[:, _ROW_MXY:_ROW_MXY + 1]
-            mxz = blk[:, _ROW_MXZ:_ROW_MXZ + 1]
-            t_lo = jnp.zeros((LANE, T)) + T_MIN
-            t_hi = jnp.zeros((LANE, T)) + _BIG
-            ok = None
-            for mn, mx, oo, inv in ((mnx, mxx, ox, inv_dx),
-                                    (mny, mxy, oy, inv_dy),
-                                    (mnz, mxz, oz, inv_dz)):
-                t0 = (mn - oo) * inv                     # (128, T)
-                t1 = (mx - oo) * inv
-                neg = jnp.broadcast_to(inv < 0.0, t0.shape)
-                near = jnp.where(neg, t1, t0)
-                far = jnp.where(neg, t0, t1)
-                t_lo = jnp.maximum(near, t_lo)
-                t_hi = jnp.minimum(far, t_hi)
-                # fail-if polarity (ray.fut:64-70): NaN stages report HIT,
-                # which is also the conservative choice for culling.
-                stage_ok = ~(t_hi <= t_lo)
-                ok = stage_ok if ok is None else (ok & stage_ok)
-            ok = ok & jnp.broadcast_to(active_b, ok.shape)
+        # Phase A: min/max slab culling over cluster blocks, masked by the
+        # live rays; per-cluster any-live-hit flags land in VMEM scratch
+        # (cluster, 1) for the scalar visit-skip reads.
+        for cb in ([] if not cull else range(CB)):
+            blk = aabb_ref[pl.ds(cb, 1), :, :].reshape(CR, 8)
+            lo = hi = None
+            for face_mn, face_mx, oo, inv in (
+                    (_A_MNX, _A_MXX, ox, inv_dx),
+                    (_A_MNY, _A_MXY, oy, inv_dy),
+                    (_A_MNZ, _A_MXZ, oz, inv_dz)):
+                t0 = (blk[:, face_mn:face_mn + 1] - oo) * inv    # (128, T)
+                t1 = (blk[:, face_mx:face_mx + 1] - oo) * inv
+                alo = jnp.minimum(t0, t1)
+                ahi = jnp.maximum(t0, t1)
+                lo = alo if lo is None else jnp.maximum(lo, alo)
+                hi = ahi if hi is None else jnp.minimum(hi, ahi)
+            lo = jnp.maximum(lo, T_MIN)
+            hi = jnp.minimum(hi, _BIG)
+            # fail-if polarity: NaN stages (axis-parallel ray on a slab
+            # plane) report HIT — conservative for culling.
+            ok = ~(hi <= lo) & jnp.broadcast_to(active_b, lo.shape)
             counts = jnp.sum(ok.astype(jnp.float32), axis=1,
-                             keepdims=True)              # (128, 1)
-            hits_ref[pl.ds(cb * LANE, LANE), :] = counts
+                             keepdims=True)              # (CR, 1)
+            hits_ref[pl.ds(cb * CR, CR), :] = counts
 
-        # Phase B: visit overlapped clusters (scalar skip), dense quadratic
-        # + running (t, payload) minimum with one-hot winner readback.
+        # Phase B: visit flagged clusters; dense quadratic -> packed
+        # (t | lane) key -> one min-reduce -> one-hot MXU payload.
         def visit(c, carry):
-            anyhit = (jnp.float32(1.0) if skip_culling
-                      else hits_ref[c, 0])
+            anyhit = hits_ref[c, 0] if cull else jnp.float32(1.0)
 
             def do_visit(carry):
-                (best_t, hit, bcx, bcy, bcz, brad, bcr, bcg, bcb) = carry
-                blk_raw = sph_ref[pl.ds(c, 1), :, :].reshape(8, LANE)
-                blk = jnp.swapaxes(blk_raw, 0, 1)
-                sx = blk[:, _ROW_CX:_ROW_CX + 1]         # (128, 1)
-                sy = blk[:, _ROW_CY:_ROW_CY + 1]
-                sz = blk[:, _ROW_CZ:_ROW_CZ + 1]
-                sr = blk[:, _ROW_RAD:_ROW_RAD + 1]
-                # (A dynamic best_t-window recheck before the dense
-                # quadratic was tried here and measured SLOWER — +80
-                # vreg-ops per visit, prunes too rarely; see PERF_NOTES.)
+                krun, pay = carry[0], carry[1]
+                blkT = sphT_ref[pl.ds(c, 1), :, :].reshape(LANE, 8)
+                sx = blkT[:, _F_CX:_F_CX + 1]            # (128, 1)
+                sy = blkT[:, _F_CY:_F_CY + 1]
+                sz = blkT[:, _F_CZ:_F_CZ + 1]
+                r2 = blkT[:, _F_R2:_F_R2 + 1]
                 ocx = ox - sx                            # (128, T)
                 ocy = oy - sy
                 ocz = oz - sz
                 b_ = ocx * dx + ocy * dy + ocz * dz
-                c_ = ocx * ocx + ocy * ocy + ocz * ocz - sr * sr
+                c_ = ocx * ocx + ocy * ocy + ocz * ocz - r2
                 disc = b_ * b_ - a * c_
                 pos = disc > 0.0
                 sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
                 t0 = (-b_ - sq) * inv_a
-                ok0 = (t0 < best_t) & (t0 > eps)
+                use0 = t0 > eps
                 if far_root:
                     t1 = (-b_ + sq) * inv_a
-                    ok1 = (t1 < best_t) & (t1 > eps)
-                    t = jnp.where(ok0, t0, jnp.where(ok1, t1, _BIG))
+                    t = jnp.where(use0, t0, t1)
                 else:
-                    t = jnp.where(ok0, t0, _BIG)
-                t = jnp.where(pos & jnp.broadcast_to(active_b, t.shape),
-                              t, _BIG)
-                tmin = jnp.min(t, axis=0, keepdims=True)  # (1, T)
-                improved = tmin < best_t
-                # unique winner sublane -> one-hot payload readback.
-                # (A single (8,128)@(128,T) MXU dot would be cheaper
-                # but Mosaic rejects it here: "Not implemented:
-                # Sublane broadcast"; revisit when Mosaic grows it.)
-                winner = jnp.min(
-                    jnp.where(t == tmin, sub_ids, LANE), axis=0,
-                    keepdims=True)                    # (1, T)
-                onehot = (sub_ids == winner).astype(
-                    jnp.float32)                      # (128, T)
+                    t = jnp.where(use0, t0, _BIG)
+                tv = jnp.where(pos & (t > eps), t, _BIG)
+                key = ((jax.lax.bitcast_convert_type(tv, jnp.int32)
+                        & key_mask) | lane_col)
+                kmin = _min_sublanes(key)                # (1, T)
+                imp_b = kmin < krun
+                impf = imp_b.astype(jnp.float32)
+                # one-hot masked by 'improved'; the (8,128)@(128,T) dot
+                # reads back the winner's fields EXACTLY (single nonzero
+                # term per output; 3-pass bf16 covers the f32 mantissa)
+                onehot = (key == kmin).astype(jnp.float32) * impf
+                pay_c = jax.lax.dot_general(
+                    sph8_ref[pl.ds(c, 1), :, :].reshape(8, LANE), onehot,
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)  # (8, T)
+                # select-free exact update (Mosaic has no (1,T)->(8,T)
+                # select_n broadcast): pay*0 + pay_c  or  pay*1 + 0
+                pay = pay * (1.0 - impf) + pay_c
+                krun = jnp.minimum(krun, kmin)
+                if record:
+                    cidx = carry[2]
+                    cidx = jnp.where(imp_b, jnp.int32(c), cidx)
+                    return (krun, pay, cidx)
+                return (krun, pay)
 
-                def pick(row, acc):
-                    got = jnp.sum(blk[:, row:row + 1] * onehot,
-                                  axis=0, keepdims=True)   # (1, T)
-                    return jnp.where(improved, got, acc)
-
-                best_t = jnp.where(improved, tmin, best_t)
-                hit = jnp.where(improved, 1.0, hit)
-                bcx = pick(_ROW_CX, bcx)
-                bcy = pick(_ROW_CY, bcy)
-                bcz = pick(_ROW_CZ, bcz)
-                brad = pick(_ROW_RAD, brad)
-                bcr = pick(_ROW_CR, bcr)
-                bcg = pick(_ROW_CG, bcg)
-                bcb = pick(_ROW_CB, bcb)
-                return (best_t, hit, bcx, bcy, bcz, brad, bcr, bcg,
-                        bcb)
-
-            if skip_culling:
+            if not cull:
                 return do_visit(carry)
             return jax.lax.cond(anyhit > 0.0, do_visit, lambda x: x, carry)
 
-        zero = jnp.zeros((1, T), jnp.float32)
-        init = (jnp.full((1, T), _BIG), zero,
-                zero, zero, zero, jnp.ones((1, T), jnp.float32),
-                zero, zero, zero)
+        init = (jnp.full((1, T), krun_init),
+                jnp.ones((8, T), jnp.float32))
+        if record:
+            init = init + (jnp.zeros((1, T), jnp.int32),)
         return jax.lax.fori_loop(0, C, visit, init)
 
     def bounce_body(state):
         (depth, n_active, ox, oy, oz, dx, dy, dz,
          lr, lg, lb, rr, rg, rb, active) = state
-        (best_t, hit, scx, scy, scz, srad, sr_, sg_, sb_) = closest_hit(
-            ox, oy, oz, dx, dy, dz, active)
+        ch = closest_hit(ox, oy, oz, dx, dy, dz, active)
+        krun, pay = ch[0], ch[1]
+        hit_b = krun < jnp.int32(_HIT_TH)
+        best_t = jax.lax.bitcast_convert_type(krun & key_mask, jnp.float32)
 
-        # two-phase re-intersection with widened window (ray.fut:84-85)
+        # row extraction by masked sublane-sum: exact (other rows are
+        # exactly zero) and yields canonical-layout (1,T) values, which
+        # direct (8,T) row slicing does not (Mosaic then fails later
+        # select_n's with 'Not implemented: Sublane broadcast')
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+        def row(r):
+            m = (row_ids == r).astype(jnp.float32)
+            return jnp.sum(pay * m, axis=0, keepdims=True)   # (1, T)
+
+        scx = row(_F_CX)
+        scy = row(_F_CY)
+        scz = row(_F_CZ)
+        srad = row(_F_RAD)
+        sr_ = row(_F_CR)
+        sg_ = row(_F_CG)
+        sb_ = row(_F_CB)
+
+        # two-phase re-intersection with widened window (ray.fut:84-85);
+        # the key floor (≤ 2^-16 relative) is far inside the +1.0 slop
         ocx = ox - scx
         ocy = oy - scy
         ocz = oz - scz
@@ -371,13 +438,20 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         scatter_ok = (rx * nx + ry * ny + rz * nz) > 0.0
 
         active_b = active > 0.0
-
-        # Tiny scenes (C <= 8): every tile overlaps most clusters
-        # anyway — skip culling and the per-visit scalar cond.
-        skip_culling = C <= 8
-        hit_b = hit > 0.0
         bounce = active_b & hit_b & scatter_ok
         miss = active_b & ~hit_b
+
+        if record:
+            # per-bounce path record for the differentiable replay
+            # (grad/pallas_diff.py): winner sphere slot for a scattering
+            # hit, -1 miss, -2 inactive, -3 absorbed hit
+            winner = ch[2] * LANE + (krun & jnp.int32(LANE - 1))
+            rec = jnp.where(active_b,
+                            jnp.where(hit_b,
+                                      jnp.where(scatter_ok, winner, -3),
+                                      -1),
+                            -2).astype(jnp.int32)
+            rec_ref[0, pl.ds(depth, 1), :] = rec
 
         # sky gradient (ray.fut:141-148)
         tsky = 0.5 * (uy + 1.0)
@@ -406,12 +480,20 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         depth, n_active = state[0], state[1]
         return (depth < max_depth) & (n_active > 0.0)
 
+    if record:
+        # bounces past a tile's early exit read as 'inactive' in replay
+        for dd in range(max_depth):
+            rec_ref[0, dd:dd + 1, :] = jnp.full((1, T), -2, jnp.int32)
+
     state = (jnp.int32(0), jnp.sum(active0), ox, oy, oz, dx, dy, dz,
              lr0, lg0, lb0, rr0, rg0, rb0, active0)
     state = jax.lax.while_loop(bounce_cond, bounce_body, state)
 
     if emit_state:
         for ref, val in zip(out_refs, state[2:2 + N_STATE]):
+            ref[0, :, :] = val
+    elif emit_float:
+        for ref, val in zip(out_refs, state[11:14]):           # rr rg rb
             ref[0, :, :] = val
     else:
         rr, rg, rb = state[11], state[12], state[13]
@@ -426,7 +508,8 @@ def _megakernel(params_ref,               # SMEM (24,) f32
 def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
                   max_depth: int = MAX_DEPTH, tile: int = DEFAULT_TILE,
                   far_root: bool = True, interpret: bool = False,
-                  block: tuple | None = None):
+                  block: tuple | None = None, cull: bool | None = None,
+                  row0=0.0, total_height: int | None = None):
     """Render -> packed int32 (h, w) via the megakernel.
 
     ``block=(bh, bw)`` with bh*bw == tile assigns each grid program a 2-D
@@ -434,7 +517,21 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
     tighter cluster unions (big win on grazing-view scenes).  The image is
     padded up to block multiples internally (padding rays hit the same
     scene and are cropped away).
+
+    ``cull=None`` auto-enables culling for C > 1 (per-bounce live-ray
+    masking makes it pay even for tiny scenes).
+
+    ``row0``/``total_height`` render a horizontal slab [row0, row0+height)
+    of a ``total_height``-row image — the shard_map unit for multi-chip
+    rendering (parallel/mesh.py).  ``row0`` may be a traced scalar (it is
+    a runtime parameter: per-shard offsets don't recompile).
     """
+    if cull is None:
+        cull = scene.n_clusters > 1
+    th = height if total_height is None else total_height
+    row0 = jnp.asarray(row0, jnp.float32).reshape(1)
+    hw_params = jnp.asarray([width, th, 1.0 / width, 1.0 / th], jnp.float32)
+    mid = jnp.concatenate([row0, jnp.zeros((3,), jnp.float32)])
     if block is not None:
         bh, bw = block
         assert bh * bw == tile, (block, tile)
@@ -443,13 +540,11 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
         num_tiles = (wp // bw) * (hp // bh)
         params = jnp.concatenate([
             cam.llc, cam.horizontal, cam.vertical, cam.origin,
-            jnp.zeros((4,), jnp.float32),
-            jnp.asarray([width, height, 1.0 / width, 1.0 / height],
-                        jnp.float32),
+            mid, hw_params,
             jnp.asarray([wp // bw, bw, bh, 1.0 / (wp // bw)], jnp.float32),
         ]).astype(jnp.float32)
         out = _call_megakernel(scene, params, num_tiles, tile, max_depth,
-                               far_root, interpret, gen_rays=True,
+                               far_root, cull, interpret, gen_rays=True,
                                emit_state=False, block_tiled=True)
         img = (out.reshape(hp // bh, wp // bw, bh, bw)
                .transpose(0, 2, 1, 3).reshape(hp, wp))
@@ -459,33 +554,68 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
     num_tiles = -(-R // tile)
     params = jnp.concatenate([
         cam.llc, cam.horizontal, cam.vertical, cam.origin,
+        mid, hw_params,
+        jnp.zeros((4,), jnp.float32),
+    ]).astype(jnp.float32)
+
+    out = _call_megakernel(scene, params, num_tiles, tile, max_depth,
+                           far_root, cull, interpret, gen_rays=True,
+                           emit_state=False)
+    return out.reshape(-1)[:R].reshape(height, width)
+
+
+def render_pallas_record(scene: PallasScene, cam: Camera, width: int,
+                         height: int, max_depth: int = MAX_DEPTH,
+                         tile: int = DEFAULT_TILE, far_root: bool = True,
+                         interpret: bool = False, cull: bool | None = None):
+    """Forward render emitting float colours AND the per-bounce path
+    record for differentiable replay (grad/pallas_diff.py).
+
+    Returns (colours (h, w, 3) f32, record (max_depth, h*w) int32) where
+    record holds the winner sphere SLOT (cluster*128+lane) for a
+    scattering hit, -1 miss, -2 inactive, -3 absorbed.  Scanline tiles
+    (row-major rays) so the record aligns with primary_rays order.
+    """
+    if cull is None:
+        cull = scene.n_clusters > 1
+    R = width * height
+    num_tiles = -(-R // tile)
+    params = jnp.concatenate([
+        cam.llc, cam.horizontal, cam.vertical, cam.origin,
         jnp.zeros((4,), jnp.float32),
         jnp.asarray([width, height, 1.0 / width, 1.0 / height],
                     jnp.float32),
         jnp.zeros((4,), jnp.float32),
     ]).astype(jnp.float32)
-
-    out = _call_megakernel(scene, params, num_tiles, tile, max_depth,
-                           far_root, interpret, gen_rays=True,
-                           emit_state=False)
-    return out.reshape(-1)[:R].reshape(height, width)
+    rr, rg, rb, rec = _call_megakernel(
+        scene, params, num_tiles, tile, max_depth, far_root, cull,
+        interpret, gen_rays=True, emit_state=False, emit_float=True,
+        record=True)
+    colours = jnp.stack([rr.reshape(-1)[:R], rg.reshape(-1)[:R],
+                         rb.reshape(-1)[:R]], axis=-1)
+    record = rec.transpose(1, 0, 2).reshape(max_depth, num_tiles * tile)
+    return colours.reshape(height, width, 3), record[:, :R]
 
 
 def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
-                     interpret, gen_rays, emit_state, state_in=None,
-                     block_tiled=False):
+                     cull, interpret, gen_rays, emit_state, state_in=None,
+                     block_tiled=False, emit_float=False, record=False):
     """Shared pallas_call wrapper for all megakernel modes."""
     C = scene.n_clusters
-    CB = scene.aabbs.shape[0]
+    CB = scene.aabbT.shape[0]
+    CR = scene.aabbT.shape[1]
     kernel = functools.partial(_megakernel, tile=tile, n_clusters=C,
                                max_depth=max_depth, far_root=far_root,
-                               gen_rays=gen_rays, emit_state=emit_state,
-                               block_tiled=block_tiled)
+                               cull=cull, gen_rays=gen_rays,
+                               emit_state=emit_state,
+                               block_tiled=block_tiled,
+                               emit_float=emit_float, record=record)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                vm((C, LANE, 8), lambda i: (0, 0, 0)),
                 vm((C, 8, LANE), lambda i: (0, 0, 0)),
-                vm((CB, 8, LANE), lambda i: (0, 0, 0))]
-    args = [params, scene.spheres, scene.aabbs]
+                vm((CB, CR, 8), lambda i: (0, 0, 0))]
+    args = [params, scene.sphT, scene.sph8, scene.aabbT]
     if not gen_rays:
         in_specs += [vm((1, 1, tile), lambda i: (i, 0, 0))] * N_STATE
         args += list(state_in)
@@ -496,16 +626,27 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
         out_specs = [vm((1, 1, tile), lambda i: (i, 0, 0))] * N_STATE
         out_shape = [jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.float32)
                      ] * N_STATE
+    elif emit_float:
+        out_specs = [vm((1, 1, tile), lambda i: (i, 0, 0))] * 3
+        out_shape = [jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.float32)
+                     ] * 3
     else:
-        out_specs = vm((1, 1, tile), lambda i: (i, 0, 0))
-        out_shape = jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32)
+        out_specs = [vm((1, 1, tile), lambda i: (i, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32)]
+    if record:
+        out_specs = out_specs + [vm((1, max_depth, tile),
+                                    lambda i: (i, 0, 0))]
+        out_shape = out_shape + [jax.ShapeDtypeStruct(
+            (num_tiles, max_depth, tile), jnp.int32)]
+    if not emit_state and not emit_float and not record:
+        out_specs, out_shape = out_specs[0], out_shape[0]
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((CB * LANE, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((CB * CR, 1), jnp.float32)],
         interpret=interpret,
     )(*args)
 
@@ -513,18 +654,23 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
 def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
                            height: int, max_depth: int = MAX_DEPTH,
                            phase1_depth: int = 6, tile: int = DEFAULT_TILE,
-                           far_root: bool = True, interpret: bool = False):
+                           far_root: bool = True, interpret: bool = False,
+                           cull: bool | None = None):
     """Two-phase render with survivor compaction between phases.
 
     A tile's bounce loop runs until its DEEPEST ray dies, so a handful of
-    mirror-trap rays inflate whole tiles to ~50 bounces (measured ~7x the
-    depth-1 cost on rgbbox).  Phase 1 traces everything to ``phase1_depth``
-    and emits full ray state; an XLA stable sort then packs the surviving
-    (still-active) rays into a contiguous prefix, so in phase 2 only
-    ~ceil(survivors/tile) tiles do deep work and every dead tile exits
-    after one cheap loop-condition check.  Per-ray arithmetic is identical
-    to the single-phase kernel, so the image is bit-identical.
+    mirror-trap rays inflate whole tiles to ~50 bounces.  Phase 1 traces
+    everything to ``phase1_depth`` and emits full ray state; an XLA stable
+    sort then packs the surviving (still-active) rays into a contiguous
+    prefix, so in phase 2 only ~ceil(survivors/tile) tiles do deep work and
+    every dead tile exits after one cheap loop-condition check.  Per-ray
+    arithmetic is identical to the single-phase kernel, so the image is
+    bit-identical.  (Measured a net LOSS on both benchmark scenes — the
+    tile-depth distribution is flat, docs/PERF_NOTES.md — kept as an
+    option and as the template for wavefront scheduling.)
     """
+    if cull is None:
+        cull = scene.n_clusters > 1
     R = width * height
     num_tiles = -(-R // tile)
     Rp = num_tiles * tile
@@ -537,15 +683,15 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     ]).astype(jnp.float32)
 
     state = _call_megakernel(scene, params, num_tiles, tile, phase1_depth,
-                             far_root, interpret, gen_rays=True,
+                             far_root, cull, interpret, gen_rays=True,
                              emit_state=True)
     flat = [s.reshape(Rp) for s in state]
     active = flat[-1]
     perm = jnp.argsort(1.0 - active, stable=True)
     packed_state = [s[perm].reshape(num_tiles, 1, tile) for s in flat]
     out = _call_megakernel(scene, params, num_tiles, tile,
-                           max_depth - phase1_depth, far_root, interpret,
-                           gen_rays=False, emit_state=False,
+                           max_depth - phase1_depth, far_root, cull,
+                           interpret, gen_rays=False, emit_state=False,
                            state_in=packed_state)
     # undo the permutation: result for original ray i sits at position
     # inv[i]; scatter back with one gather by inverse permutation.

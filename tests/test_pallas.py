@@ -48,7 +48,7 @@ def test_pallas_cluster_culling_multi_block():
     from raytracers_tpu.scenes import random_spheres
     sph = random_spheres(20_000, seed=5, extent=200.0)
     ps = build_pallas_scene(sph)
-    assert ps.aabbs.shape[0] == 2
+    assert ps.aabbT.shape[0] == 2
     cam = camera((0., 0., 260.), (0., 0., 0.), (0., 1., 0.), 60.0, 1.0)
     img = np.asarray(render_pallas(ps, cam, 32, 32, max_depth=2,
                                    interpret=True))

@@ -103,3 +103,35 @@ def test_train_step_loss_decreases_monotonically_ish():
         state, loss = step(state, o, d, tgt)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_sharded_pallas_matches_single_device_bitexact():
+    """The megakernel sharded over 8 devices (horizontal slabs, runtime row
+    offsets) must reproduce the single-device render bit-for-bit: the slab
+    boundaries fall on block-tile rows, so per-pixel math is identical."""
+    from raytracers_tpu.parallel.mesh import render_pallas_sharded
+    from raytracers_tpu.render.pallas_kernel import (build_pallas_scene,
+                                                     render_pallas)
+    sc = scenes.rgbbox()
+    ps = build_pallas_scene(sc.spheres)
+    cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
+    single = np.asarray(render_pallas(ps, cam, 64, 64, max_depth=3,
+                                      tile=512, block=(32, 16),
+                                      interpret=True))
+    sharded = np.asarray(render_pallas_sharded(ps, cam, 64, 64,
+                                               mesh=ray_mesh(), max_depth=3,
+                                               interpret=True))
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_cli_shard_pallas_contract():
+    """render_sharded(mode='pallas') — the cli --shard --mode pallas path —
+    renders without error and matches the unsharded API render."""
+    sc = scenes.rgbbox()
+    prep = prepare_scene(sc, 48, 48, leaf_size=8, with_pallas=True)
+    mesh = ray_mesh()
+    img = np.asarray(render_sharded(prep, 48, 48, mesh=mesh, mode="pallas",
+                                    max_depth=2, interpret=True))
+    ref = np.asarray(render(prep, 48, 48, mode="pallas", max_depth=2,
+                            interpret=True))
+    np.testing.assert_array_equal(img, ref)
