@@ -99,36 +99,85 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"LBVH 1M bench failed: {type(e).__name__}: {e}")
 
-    # differentiable fwd+bwd: one inverse-rendering gradient step on
-    # rgbbox at 256x256 (BASELINE.json: "fwd/bwd", configs[4])
+    # differentiable fwd+bwd at the NORTH-STAR config (BASELINE.json):
+    # rgbbox 1000x1000, full 50-bounce renderer, gradient of a pixel loss
+    # w.r.t. every sphere parameter, forward through the Pallas megakernel
+    # (TPU).  CPU fallback: a small brute-oracle config.
     try:
         from raytracers_tpu import camera as mk_camera
-        from raytracers_tpu.grad.diff_render import trace_diff
-        from raytracers_tpu.render.bruteforce import make_closest_hit
-        from raytracers_tpu.render.tracer import primary_rays
 
         sc = scenes.by_name("rgbbox")
-        cam = mk_camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
-        o, d = primary_rays(cam, 256, 256)
+        if on_tpu:
+            from raytracers_tpu.grad.pallas_diff import make_render_pallas_diff
+            cam = mk_camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov,
+                            W / H)
+            f = make_render_pallas_diff(W, H, max_depth=50, bwd_chunks=8)
 
-        def loss(sph, o, d):
-            ch = make_closest_hit(sph, "matmul")
-            col = trace_diff(ch, sph, o, d, max_depth=8)
-            return jnp.sum(col * col)
+            def loss(sph, cam):
+                img = f(sph, cam)
+                return jnp.sum(img * img)
 
-        gfn = jax.jit(jax.value_and_grad(loss))
+            gfn = jax.jit(jax.value_and_grad(loss))
 
-        def salted_rays(k):
-            return (sc.spheres, o + jnp.float32(k) * 1e-30, d)
-        jax.device_get(gfn(*salted_rays(-1))[0])
-        dt = bench_salted(lambda s, oo, dd: gfn(s, oo, dd)[0], salted_rays,
-                          warmup=1, runs=max(2, runs // 2))
-        details["fwdbwd_256_ms"] = dt * 1e3
-        details["fwdbwd_256_mrays_per_s"] = 256 * 256 / dt / 1e6
-        log(f"fwd+bwd rgbbox 256x256 (depth 8): {dt*1e3:.1f} ms "
-            f"({256*256/dt/1e6:.2f} Mrays/s)")
+            def salted_sph(k):
+                return (sc.spheres._replace(
+                    center=sc.spheres.center + jnp.float32(k) * 1e-30), cam)
+            jax.device_get(gfn(*salted_sph(-1))[0])
+            dt = bench_salted(lambda s, c: gfn(s, c)[0], salted_sph,
+                              warmup=1, runs=max(2, runs // 3))
+            details["fwdbwd_1000_d50_ms"] = dt * 1e3
+            details["fwdbwd_1000_d50_mrays_per_s"] = W * H / dt / 1e6
+            log(f"fwd+bwd rgbbox {W}x{H} d50 (pallas fwd + replay bwd): "
+                f"{dt*1e3:.1f} ms ({W*H/dt/1e6:.2f} Mrays/s)")
+        else:
+            from raytracers_tpu.grad.diff_render import trace_diff
+            from raytracers_tpu.render.bruteforce import make_closest_hit
+            from raytracers_tpu.render.tracer import primary_rays
+            cam = mk_camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov,
+                            1.0)
+            o, d = primary_rays(cam, 128, 128)
+
+            def loss(sph, o, d):
+                ch = make_closest_hit(sph, "matmul")
+                col = trace_diff(ch, sph, o, d, max_depth=8)
+                return jnp.sum(col * col)
+
+            gfn = jax.jit(jax.value_and_grad(loss))
+
+            def salted_rays(k):
+                return (sc.spheres, o + jnp.float32(k) * 1e-30, d)
+            jax.device_get(gfn(*salted_rays(-1))[0])
+            dt = bench_salted(lambda s, oo, dd: gfn(s, oo, dd)[0],
+                              salted_rays, warmup=1, runs=2)
+            details["fwdbwd_128_ms"] = dt * 1e3
+            log(f"fwd+bwd rgbbox 128x128 (depth 8, cpu): {dt*1e3:.1f} ms")
     except Exception as e:  # pragma: no cover
         log(f"fwd+bwd bench failed: {type(e).__name__}: {e}")
+
+    # resolution ladder (reference harnesses sweep 100/200/1000 —
+    # rust/benches/ray.rs:29-37, haskell/bench-ray.hs:32-34); each size is
+    # a fresh kernel compile, so this is opt-in: bench.py --ladder
+    if "--ladder" in sys.argv:
+        from raytracers_tpu.render.api import prepare_scene as _ps
+        for name in ["rgbbox", "irreg"]:
+            sc = scenes.by_name(name)
+            for res in [100, 200, 1000]:
+                prep = jax.block_until_ready(jax.jit(
+                    lambda s: prepare_scene(s, res, res, leaf_size=8,
+                                            with_pallas=(mode == "pallas"))
+                )(sc))
+                rf = jax.jit(lambda p, r=res: jnp.sum(render(
+                    p, r, r, mode=mode,
+                    chunk=None if mode == "pallas" else 16384)))
+                jax.device_get(rf(prep))
+
+                def salted(k, prep=prep):
+                    cam2 = prep.cam._replace(
+                        origin=prep.cam.origin + jnp.float32(k) * 1e-30)
+                    return (prep._replace(cam=cam2),)
+                dt = bench_salted(rf, salted, warmup=1, runs=runs)
+                details[f"ladder_{name}_{res}_ms"] = dt * 1e3
+                log(f"ladder {name} {res}x{res}: {dt*1e3:.2f} ms")
 
     value = results["rgbbox"]
     out = {

@@ -75,16 +75,36 @@ def trace_paths(closest_hit: Callable, spheres: Spheres, origins, dirs,
     return jax.lax.stop_gradient(idxs), jax.lax.stop_gradient(events)
 
 
-def replay_paths(spheres: Spheres, origins, dirs, idxs, events):
+def _gather_sphere_params(spheres: Spheres, safe_idx, mode: str):
+    """Winner-sphere parameters for a ray batch.
+
+    mode="take": plain XLA gather (fine on CPU / small batches).
+    mode="onehot": exact one-hot matmul — on TPU a (R,N)@(N,7) MXU dot
+    (and its transpose in the VJP) is ~an order of magnitude faster than
+    1e6-element gathers + scatter-add, and exact because each one-hot row
+    has a single nonzero.
+    """
+    if mode == "take":
+        return (spheres.center[safe_idx], spheres.radius[safe_idx],
+                spheres.color[safe_idx])
+    n = spheres.center.shape[0]
+    oh = (safe_idx[:, None] == jnp.arange(n, dtype=safe_idx.dtype)[None, :]
+          ).astype(jnp.float32)                               # (R, N)
+    tab = jnp.concatenate([spheres.center, spheres.radius[:, None],
+                           spheres.color], axis=1)            # (N, 7)
+    g = jnp.dot(oh, tab, precision=jax.lax.Precision.HIGHEST)
+    return g[:, 0:3], g[:, 3], g[:, 4:7]
+
+
+def replay_paths(spheres: Spheres, origins, dirs, idxs, events,
+                 gather: str = "take"):
     """Phase 2: differentiable shading replay -> colours (R, 3)."""
 
     def step(carry, rec):
         o, d, light, result = carry
         idx, event = rec
         safe = jnp.maximum(idx, 0)
-        c = spheres.center[safe]
-        r = spheres.radius[safe]
-        col = spheres.color[safe]
+        c, r, col = _gather_sphere_params(spheres, safe, gather)
         # two-phase re-intersection, differentiable in (c, r)
         t1 = sphere_hit_t(o, d, c, r, SCENE_EPSILON, T_MAX)
         t1 = jnp.where(jnp.isfinite(t1), t1, 0.0)
