@@ -91,11 +91,14 @@ class PallasScene(NamedTuple):
     faces mnx..mxz (padding clusters carry an empty box min=+inf,
     max=-inf; under the min/max slab they test as always-hit, but their
     flags are never read: the visit loop is bounded by C).
+    ``superT``: (1, SBR, 8) f32 — per-BLOCK union AABBs (SBR =
+    roundup(CB, 8)): the level-1 cull table for scene-scale rendering.
     ``order`` maps (cluster*128 + lane) -> original sphere index (-1 pad).
     """
     sphT: jnp.ndarray
     sph8: jnp.ndarray
     aabbT: jnp.ndarray
+    superT: jnp.ndarray
     order: jnp.ndarray
 
     @property
@@ -173,7 +176,21 @@ def build_pallas_scene(sph: Spheres) -> PallasScene:
         jnp.zeros((CB * CR,), jnp.float32),
     ], axis=1).reshape(CB, CR, 8)                         # (CB, CR, 8)
 
-    return PallasScene(sphT=sphT, sph8=sph8, aabbT=aabbT,
+    # level-1 super-AABBs: per-block unions (inf/-inf padding is neutral
+    # under min/max and pads to SBR rows as always-miss empty boxes — but
+    # note the min/max slab treats empty boxes as always-HIT; their block
+    # flags gate visit ranges that are bounded by C, so they are never
+    # dereferenced)
+    SBR = max(8, -(-CB // 8) * 8)
+    blk_min = aabbT[:, :, 0:3].min(axis=1)                # (CB, 3)
+    blk_max = aabbT[:, :, 3:6].max(axis=1)
+    superT = jnp.concatenate([
+        jnp.pad(blk_min, ((0, SBR - CB), (0, 0)), constant_values=np.inf),
+        jnp.pad(blk_max, ((0, SBR - CB), (0, 0)), constant_values=-np.inf),
+        jnp.zeros((SBR, 2), jnp.float32),
+    ], axis=1)[None, :, :]                                # (1, SBR, 8)
+
+    return PallasScene(sphT=sphT, sph8=sph8, aabbT=aabbT, superT=superT,
                        order=bvh.order.reshape(C, LANE))
 
 
@@ -192,8 +209,9 @@ def _min_sublanes(x):
 def _megakernel(params_ref,               # SMEM (24,) f32
                 sphT_ref,                 # VMEM (C, 128, 8) f32
                 sph8_ref,                 # VMEM (C, 8, 128) f32
-                aabb_ref,                 # VMEM (CB, 128, 8) f32
-                *refs,                    # [13 state_in] outputs, hits scratch
+                aabb_ref,                 # VMEM (CB, CR, 8) f32
+                super_ref,                # VMEM (1, SBR, 8) f32 block AABBs
+                *refs,                    # [13 state_in] outputs, scratches
                 tile: int, n_clusters: int, max_depth: int,
                 far_root: bool, cull: bool, gen_rays: bool = True,
                 emit_state: bool = False, block_tiled: bool = False,
@@ -204,8 +222,9 @@ def _megakernel(params_ref,               # SMEM (24,) f32
     CR = aabb_ref.shape[1]            # cull rows per block (8..128)
     n_in = 0 if gen_rays else N_STATE
     state_in = refs[:n_in]
-    out_refs = refs[n_in:-1]
-    hits_ref = refs[-1]
+    out_refs = refs[n_in:-2]
+    hits_ref = refs[-2]
+    hits2_ref = refs[-1]
     if record:
         rec_ref = out_refs[-1]
         out_refs = out_refs[:-1]
@@ -289,17 +308,14 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         inv_dz = 1.0 / dz
         active_b = active > 0.0
 
-        # Phase A: min/max slab culling over cluster blocks, masked by the
-        # live rays; per-cluster any-live-hit flags land in VMEM scratch
-        # (cluster, 1) for the scalar visit-skip reads.
-        for cb in ([] if not cull else range(CB)):
-            blk = aabb_ref[pl.ds(cb, 1), :, :].reshape(CR, 8)
+        def slab_counts(blk):
+            """Per-row live-overlap counts for an (Rk, 8) AABB table."""
             lo = hi = None
             for face_mn, face_mx, oo, inv in (
                     (_A_MNX, _A_MXX, ox, inv_dx),
                     (_A_MNY, _A_MXY, oy, inv_dy),
                     (_A_MNZ, _A_MXZ, oz, inv_dz)):
-                t0 = (blk[:, face_mn:face_mn + 1] - oo) * inv    # (128, T)
+                t0 = (blk[:, face_mn:face_mn + 1] - oo) * inv    # (Rk, T)
                 t1 = (blk[:, face_mx:face_mx + 1] - oo) * inv
                 alo = jnp.minimum(t0, t1)
                 ahi = jnp.maximum(t0, t1)
@@ -310,9 +326,34 @@ def _megakernel(params_ref,               # SMEM (24,) f32
             # fail-if polarity: NaN stages (axis-parallel ray on a slab
             # plane) report HIT — conservative for culling.
             ok = ~(hi <= lo) & jnp.broadcast_to(active_b, lo.shape)
-            counts = jnp.sum(ok.astype(jnp.float32), axis=1,
-                             keepdims=True)              # (CR, 1)
-            hits_ref[pl.ds(cb * CR, CR), :] = counts
+            return jnp.sum(ok.astype(jnp.float32), axis=1,
+                           keepdims=True)                # (Rk, 1)
+
+        # Phase A0 (scene-scale, CB > 1): super-AABB culling over whole
+        # 128-cluster blocks — an O(C/128) prefilter that gates both the
+        # per-cluster culling and the visit sweep, giving ~O(log n)-ish
+        # per-ray cost on big Morton-local scenes (the TPU answer to the
+        # reference's per-ray tree descent, futhark/bvh.fut:61-84).
+        two_level = cull and CB > 1
+        if two_level:
+            sup = super_ref[0, :, :]                    # (SBR, 8)
+            hits2_ref[:, :] = slab_counts(sup)
+
+        # Phase A: min/max slab culling over cluster blocks, masked by the
+        # live rays; per-cluster any-live-hit flags land in VMEM scratch
+        # (cluster, 1) for the scalar visit-skip reads.
+        for cb in ([] if not cull else range(CB)):
+            def cull_block(cb=cb):
+                blk = aabb_ref[pl.ds(cb, 1), :, :].reshape(CR, 8)
+                hits_ref[pl.ds(cb * CR, CR), :] = slab_counts(blk)
+            if two_level:
+                # skipped blocks keep stale cluster flags, but the visit
+                # sweep re-checks the same block flag before reading them
+                @pl.when(hits2_ref[cb, 0] > 0.0)
+                def _(cb=cb):
+                    cull_block(cb)
+            else:
+                cull_block(cb)
 
         # Phase B: visit flagged clusters; dense quadratic -> packed
         # (t | lane) key -> one min-reduce -> one-hot MXU payload.
@@ -374,7 +415,18 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 jnp.ones((8, T), jnp.float32))
         if record:
             init = init + (jnp.zeros((1, T), jnp.int32),)
-        return jax.lax.fori_loop(0, C, visit, init)
+        if not (cull and CB > 1):
+            return jax.lax.fori_loop(0, C, visit, init)
+        # scene-scale sweep: per-block scalar gate around each cluster run
+        carry = init
+        for cb in range(CB):
+            n_in_block = min(CR, C - cb * CR)
+            carry = jax.lax.cond(
+                hits2_ref[cb, 0] > 0.0,
+                lambda x, cb=cb, n=n_in_block: jax.lax.fori_loop(
+                    cb * CR, cb * CR + n, visit, x),
+                lambda x: x, carry)
+        return carry
 
     def bounce_body(state):
         (depth, n_active, ox, oy, oz, dx, dy, dz,
@@ -611,11 +663,13 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                                block_tiled=block_tiled,
                                emit_float=emit_float, record=record)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    SBR = scene.superT.shape[1]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 vm((C, LANE, 8), lambda i: (0, 0, 0)),
                 vm((C, 8, LANE), lambda i: (0, 0, 0)),
-                vm((CB, CR, 8), lambda i: (0, 0, 0))]
-    args = [params, scene.sphT, scene.sph8, scene.aabbT]
+                vm((CB, CR, 8), lambda i: (0, 0, 0)),
+                vm((1, SBR, 8), lambda i: (0, 0, 0))]
+    args = [params, scene.sphT, scene.sph8, scene.aabbT, scene.superT]
     if not gen_rays:
         in_specs += [vm((1, 1, tile), lambda i: (i, 0, 0))] * N_STATE
         args += list(state_in)
@@ -646,7 +700,8 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((CB * CR, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((CB * CR, 1), jnp.float32),
+                        pltpu.VMEM((SBR, 1), jnp.float32)],
         interpret=interpret,
     )(*args)
 

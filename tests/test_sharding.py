@@ -135,3 +135,31 @@ def test_cli_shard_pallas_contract():
     ref = np.asarray(render(prep, 48, 48, mode="pallas", max_depth=2,
                             interpret=True))
     np.testing.assert_array_equal(img, ref)
+
+
+def test_center_recovery_soft_gradients():
+    """BASELINE configs[4] in full: recover perturbed sphere CENTERS.
+
+    Path-replay gradients are blind to silhouette motion, so center
+    recovery uses the soft-visibility reparameterization
+    (grad/soft_render.py): annealed sigmoid silhouettes + depth softmin
+    give nonzero d(pixel)/d(center) across the boundary.  No parameter
+    pinning: centers are free variables."""
+    from raytracers_tpu.grad.diff_render import render_diff
+    from raytracers_tpu.grad.soft_render import recover_soft
+    from raytracers_tpu.render.bruteforce import make_closest_hit
+
+    true = _mini()
+    cam = camera((0., 0., 2.), (0., 0., -5.), (0., 1., 0.), 60.0, 1.0)
+    target = np.asarray(render_diff(
+        lambda s: make_closest_hit(s, "precise"), true, cam, 32, 32,
+        max_depth=1))
+    pert = true._replace(center=true.center + jnp.asarray(
+        [[0.6, -0.4, 0.3], [-0.5, 0.45, 0.0]]))
+    d0 = float(jnp.abs(pert.center - true.center).mean())
+    losses = []
+    fitted = recover_soft(target, cam, pert, steps=300, lr=3e-2,
+                          callback=lambda i, l, s: losses.append(l))
+    d1 = float(jnp.abs(fitted.center - true.center).mean())
+    assert d1 < 0.35 * d0, (d0, d1)
+    assert losses[-1] < 0.3 * losses[0]

@@ -32,10 +32,17 @@ def main():
     from raytracers_tpu.utils.timing import bench_salted
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
-    sc = scenes.by_name(args.scene)
-    ps = jax.block_until_ready(jax.jit(build_pallas_scene)(sc.spheres))
     W = H = args.res
-    cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, W / H)
+    if args.scene.startswith("soup"):
+        n = int(args.scene[4:])
+        sph = scenes.random_spheres(n, seed=11, extent=400.0)
+        ps = jax.block_until_ready(jax.jit(build_pallas_scene)(sph))
+        cam = camera((0., 0., 520.), (0., 0., 0.), (0., 1., 0.), 60.0,
+                     W / H)
+    else:
+        sc = scenes.by_name(args.scene)
+        ps = jax.block_until_ready(jax.jit(build_pallas_scene)(sc.spheres))
+        cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, W / H)
     block = tuple(int(x) for x in args.block.split(",")) \
         if args.block != "none" else None
     cull = {"auto": None, "on": True, "off": False}[args.cull]
