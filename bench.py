@@ -33,7 +33,7 @@ def main():
 
     from raytracers_tpu import scenes
     from raytracers_tpu.render.api import prepare_scene, render
-    from raytracers_tpu.utils.timing import bench_salted
+    from raytracers_tpu.utils.timing import bench_batched, bench_salted
 
     W = H = 1000
     runs = 10 if on_tpu else 2
@@ -55,12 +55,23 @@ def main():
             s, H, W, leaf_size=8, with_pallas=(mode == "pallas")))
         prep = jax.block_until_ready(prep_fn(sc))
         # timed fns return scalar checksums (see bench_salted docstring)
-        prep_sum_fn = jax.jit(lambda s, n=name: sum(
-            jnp.sum(x) for x in jax.tree.leaves(prepare_scene(
-                s, H, W, leaf_size=8, with_pallas=(mode == "pallas")))
-            if jnp.issubdtype(x.dtype, jnp.floating)))
-        bvh_s = bench_salted(prep_sum_fn, lambda k: (salted_scene(sc, k),),
-                             warmup=1, runs=runs)
+        # sub-dispatch-floor phase: k salted builds inside ONE jit call
+        # (the tunnel has a ~6-9 ms fixed round-trip per dispatch)
+        def make_build_sum(k, sc=sc):
+            def fn(seed):
+                def body(acc, i):
+                    s = salted_scene(sc, seed + i)
+                    out = sum(jnp.sum(x) for x in jax.tree.leaves(
+                        prepare_scene(s, H, W, leaf_size=8,
+                                      with_pallas=(mode == "pallas")))
+                        if jnp.issubdtype(x.dtype, jnp.floating))
+                    return acc + out, None
+                tot, _ = jax.lax.scan(body, jnp.float32(0),
+                                      jnp.arange(k, dtype=jnp.float32))
+                return tot
+            return fn
+        bvh_s = bench_batched(make_build_sum, runs=max(2, runs // 3),
+                              k=8 if on_tpu else 2)
         render_sum_fn = jax.jit(lambda p: jnp.sum(render(
             p, H, W, mode=mode,
             chunk=None if mode == "pallas" else 16384)))
@@ -75,27 +86,44 @@ def main():
         dt = bench_salted(render_sum_fn, salted_prep, warmup=1, runs=runs)
         rays = W * H / dt
         results[name] = rays
+        if "--trace" in sys.argv and on_tpu:
+            # device-side time via a real jax.profiler trace: separates
+            # kernel execution from the ~6-9 ms tunnel dispatch floor
+            import tempfile
+            from raytracers_tpu.utils.profiling import (device_kernel_ms,
+                                                        device_trace)
+            tdir = tempfile.mkdtemp(prefix=f"trace_{name}_")
+            with device_trace(tdir):
+                jax.device_get(render_sum_fn(*salted_prep(999)))
+            kms = device_kernel_ms(tdir)
+            dev_ms = max(kms.values()) if kms else None
+            details[f"{name}_device_render_ms"] = dev_ms
+            log(f"{name}: device kernel time {dev_ms:.2f} ms (trace)")
         details[f"{name}_bvh_ms"] = bvh_s * 1e3
         details[f"{name}_render_ms"] = dt * 1e3
         details[f"{name}_mrays_per_s"] = rays / 1e6
         log(f"{name}: bvh {bvh_s*1e3:.2f} ms, render {dt*1e3:.2f} ms "
             f"({rays/1e6:.1f} Mrays/s, compile {compile_s:.1f}s)")
 
-    # LBVH construction at 1M spheres (BASELINE.json configs[3])
+    # LBVH construction at 1M spheres (BASELINE.json configs[3]).
+    # leaf=128 is the renderer's production layout; leaf=8 (the deep-tree
+    # config, 125k leaves) reported alongside.
     try:
         from raytracers_tpu.bvh.lbvh import build_bvh
         soup = scenes.random_spheres(1_000_000, seed=0)
-        build_sum_fn = jax.jit(lambda s: sum(
-            jnp.sum(x) for x in jax.tree.leaves(build_bvh(s, leaf_size=8))
-            if jnp.issubdtype(x.dtype, jnp.floating)))
 
         def salted_soup(k):
             return (soup._replace(center=soup.center
                                   + jnp.float32(k) * 1e-30),)
-        dt = bench_salted(build_sum_fn, salted_soup, warmup=1,
-                          runs=max(2, runs // 2))
-        details["lbvh_1m_ms"] = dt * 1e3
-        log(f"LBVH build 1M spheres: {dt*1e3:.1f} ms")
+        for leaf in ([128, 8] if on_tpu else [128]):
+            build_sum_fn = jax.jit(lambda s, leaf=leaf: sum(
+                jnp.sum(x) for x in jax.tree.leaves(
+                    build_bvh(s, leaf_size=leaf))
+                if jnp.issubdtype(x.dtype, jnp.floating)))
+            dt = bench_salted(build_sum_fn, salted_soup, warmup=1,
+                              runs=max(2, runs // 2))
+            details[f"lbvh_1m_leaf{leaf}_ms"] = dt * 1e3
+            log(f"LBVH build 1M spheres (leaf {leaf}): {dt*1e3:.1f} ms")
     except Exception as e:  # pragma: no cover
         log(f"LBVH 1M bench failed: {type(e).__name__}: {e}")
 

@@ -39,9 +39,12 @@ def closest_hit_bvh(bvh: Bvh, origins, dirs,
     n_inner = bvh.n_inner
     K = bvh.leaf_size
 
-    cur0 = jnp.zeros((R,), jnp.int32)            # root = inner node 0
-    best_t0 = jnp.full((R,), t_max, jnp.float32)
-    best_i0 = jnp.full((R,), -1, jnp.int32)
+    # carries derived from the ray arrays so they are 'rays'-varying
+    # under shard_map from iteration 0 (keeps check_vma satisfied)
+    zero = jnp.isnan(origins[:, 0]).astype(jnp.int32)   # all-0, varying
+    cur0 = zero                                  # root = inner node 0
+    best_t0 = zero.astype(jnp.float32) + t_max
+    best_i0 = zero - 1
 
     def cond(state):
         cur, _, _ = state

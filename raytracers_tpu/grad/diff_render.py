@@ -68,8 +68,9 @@ def trace_paths(closest_hit: Callable, spheres: Spheres, origins, dirs,
         done = done | (event == EV_MISS) | (event == EV_ABSORB)
         return (o, d, done), (jnp.where(hit, idx, -1).astype(jnp.int32), event)
 
-    R = origins.shape[0]
-    done0 = jnp.zeros((R,), bool)
+    # derived from the ray arrays: 'rays'-varying under shard_map from
+    # step 0, keeping the varying-manual-axes checker satisfied
+    done0 = jnp.isnan(origins[:, 0])
     _, (idxs, events) = jax.lax.scan(step, (origins, dirs, done0), None,
                                      length=max_depth)
     return jax.lax.stop_gradient(idxs), jax.lax.stop_gradient(events)
@@ -124,9 +125,8 @@ def replay_paths(spheres: Spheres, origins, dirs, idxs, events,
         d = jnp.where(bounce[..., None], refl, d)
         return (o, d, light, result), None
 
-    R = origins.shape[0]
-    light0 = jnp.ones((R, 3), jnp.float32)
-    result0 = jnp.zeros((R, 3), jnp.float32)
+    light0 = jnp.ones_like(origins)
+    result0 = jnp.zeros_like(origins)
     (o, d, light, result), _ = jax.lax.scan(
         step, (origins, dirs, light0, result0), (idxs, events))
     return result

@@ -70,8 +70,7 @@ def make_train_step(optimizer: optax.GradientTransformation, mesh: Mesh,
             shard_grads, mesh=mesh,
             in_specs=(jax.tree.map(lambda _: rep, state.spheres),
                       P("rays"), P("rays"), P("rays")),
-            out_specs=(rep, jax.tree.map(lambda _: rep, state.spheres)),
-            check_vma=False)  # see parallel/mesh.py
+            out_specs=(rep, jax.tree.map(lambda _: rep, state.spheres)))
         loss, grads = sharded(state.spheres, origins, dirs, target)
         if trainable is not None:
             grads = jax.tree.map(

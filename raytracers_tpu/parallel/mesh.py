@@ -56,12 +56,12 @@ def trace_sharded(prepared: PreparedScene, origins, dirs, mesh: Mesh,
         return trace(ch, prep.spheres, o, d, max_depth)
 
     rep = jax.tree.map(lambda _: P(), prepared)
-    # check_vma=False: the bounce while_loop's carry starts as replicated
-    # zeros and becomes rays-varying inside the body; the strict varying-
-    # manual-axes check rejects that even though it is semantically fine.
+    # check_vma stays ON: all loop/scan carries in the tracer and the BVH
+    # traversal are derived from the sharded ray arrays, so they are
+    # 'rays'-varying from iteration 0 and the checker is satisfied.
     fn = jax.shard_map(shard_fn, mesh=mesh,
                        in_specs=(P("rays"), P("rays"), rep),
-                       out_specs=P("rays"), check_vma=False)
+                       out_specs=P("rays"))
     colours = fn(origins, dirs, prepared)
     del oracle_src
     return colours[:R]

@@ -86,10 +86,12 @@ def trace(closest_hit: Callable, spheres: Spheres, origins, dirs,
     runs until every lane is done or depth hits max_depth, matching
     futhark/ray.fut:126-148 (paths still alive at the depth cap are black).
     """
-    R = origins.shape[0]
-    light = jnp.ones((R, 3), jnp.float32)
-    result = jnp.zeros((R, 3), jnp.float32)
-    done = jnp.zeros((R,), bool)
+    # carries derived from the ray arrays (not fresh constants) so that
+    # under shard_map they are 'rays'-varying from the start — this keeps
+    # the varying-manual-axes checker (check_vma) satisfiable
+    light = jnp.ones_like(origins)
+    result = jnp.zeros_like(origins)
+    done = jnp.isnan(origins[:, 0])          # all-False, rays-varying
 
     def cond(state):
         _, _, _, _, done, depth = state

@@ -84,6 +84,22 @@ def irreg() -> Scene:
                  fov=75.0, spheres=spheres)
 
 
+def plane(n_side: int = 316) -> Scene:
+    """irreg's structure at scale: an n_side x n_side sphere plane (default
+    ~100k spheres), radius = spacing/2 so surface coverage matches irreg.
+    A SURFACE scene — the fair scale test for hierarchy culling (a random
+    volumetric soup of mirrors has no ray coherence for ANY tracer)."""
+    n, k = n_side, 600.0
+    r = np.float32(k / (n * 2.0))
+    bottom = _wall(1, 0.0, n, k, None, (0, 2))
+    colors = np.ones((n * n, 3), dtype=np.float32)
+    radii = np.full((n * n,), r, dtype=np.float32)
+    spheres = Spheres(jnp.asarray(bottom), jnp.asarray(radii),
+                      jnp.asarray(colors))
+    return Scene(look_from=(0.0, 12.0, 30.0), look_at=(0.0, 10.0, -1.0),
+                 fov=75.0, spheres=spheres)
+
+
 def random_spheres(n: int, seed: int = 0, extent: float = 1000.0) -> Spheres:
     """Uniform random sphere soup for LBVH-construction benchmarks at scale
     (BASELINE.json configs[3]: 1M spheres).  Not part of the reference."""
@@ -94,7 +110,7 @@ def random_spheres(n: int, seed: int = 0, extent: float = 1000.0) -> Spheres:
     return Spheres(jnp.asarray(centers), jnp.asarray(radii), jnp.asarray(colors))
 
 
-SCENES = {"rgbbox": rgbbox, "irreg": irreg}
+SCENES = {"rgbbox": rgbbox, "irreg": irreg, "plane": plane}
 
 
 def by_name(name: str) -> Scene:

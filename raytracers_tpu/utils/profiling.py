@@ -62,3 +62,26 @@ def timed(label: str, sink=None):
     print(msg, file=sys.stderr)
     if sink is not None:
         sink(label, dt)
+
+def device_kernel_ms(log_dir: str) -> dict:
+    """Parse a captured trace: device-side kernel name -> total ms.
+
+    Used by bench.py --trace to report DEVICE execution time separately
+    from the host dispatch round-trip (~6-9 ms through the tunnel)."""
+    import collections
+    import glob
+    import gzip
+    import json
+    out = collections.Counter()
+    for path in glob.glob(log_dir + "/**/*.trace.json.gz", recursive=True):
+        with gzip.open(path) as f:
+            data = json.load(f)
+        pids = {e["pid"]: e["args"].get("name") for e in
+                data.get("traceEvents", [])
+                if e.get("ph") == "M" and e.get("name") == "process_name"}
+        dev_pids = {p for p, n in pids.items()
+                    if n and "TPU" in str(n)}
+        for e in data.get("traceEvents", []):
+            if e.get("ph") == "X" and e.get("pid") in dev_pids:
+                out[e.get("name", "?")] += e.get("dur", 0) / 1e3
+    return dict(out)

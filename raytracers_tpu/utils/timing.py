@@ -51,6 +51,31 @@ def bench_salted(fn: Callable, make_args: Callable[[int], tuple],
     return (time.perf_counter() - t0) / runs
 
 
+def bench_batched(make_sum_fn, runs: int = 3, k: int = 16) -> float:
+    """Per-evaluation seconds for sub-dispatch-floor workloads.
+
+    The tunneled TPU runtime has a ~6-9 ms fixed round-trip per dispatch
+    (measured: a 400-element kernel 'costs' the same as an empty call), so
+    fast phases like small BVH builds cannot be timed call-per-call.
+    ``make_sum_fn(k)`` must return a jittable ``() -> scalar`` that
+    evaluates the workload on k DIFFERENT (salted) inputs sequentially
+    inside ONE jit call (e.g. a lax.scan over salts); the dispatch floor
+    then amortises k-fold.
+    """
+    import jax.numpy as jnp
+    fn = jax.jit(make_sum_fn(k))   # fn(seed scalar) -> scalar checksum
+    jax.device_get(fn(jnp.float32(-1.0)))   # compile + warm
+    jax.device_get(fn(jnp.float32(-2.0)))
+    t0 = time.perf_counter()
+    last = None
+    for r in range(runs):
+        # distinct seed per run: the runtime memoises repeated identical
+        # (executable, input) calls (docs/PERF_NOTES.md timing traps)
+        last = fn(jnp.float32(r))
+    jax.device_get(last)
+    return (time.perf_counter() - t0) / runs / k
+
+
 class PhaseTimer:
     """Collects named phase timings (seconds); renders a metrics dict."""
 

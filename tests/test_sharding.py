@@ -23,9 +23,9 @@ def test_sharded_render_matches_single_device():
     single = np.asarray(render(prep, 64, 64, mode="bvh"))
     mesh = ray_mesh()
     sharded = np.asarray(render_sharded(prep, 64, 64, mesh=mesh, mode="bvh"))
-    # Same computation, different partitioning: tiny f32 jitter possible at
-    # fused boundaries, but in practice identical.
-    assert (single != sharded).mean() < 0.005
+    # same per-ray computation, different partitioning: rays are
+    # independent, so the partitioning cannot change any pixel
+    np.testing.assert_array_equal(single, sharded)
 
 
 def test_sharded_render_nondivisible_rays():
