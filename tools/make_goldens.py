@@ -24,6 +24,8 @@ SPECS = [
     # (filename, scene, w, h, max_depth)
     ("rgbbox_200_d1.ppm", "rgbbox", 200, 200, 1),
     ("rgbbox_200_d2.ppm", "rgbbox", 200, 200, 2),
+    ("rgbbox_200_d4.ppm", "rgbbox", 200, 200, 4),
+    ("rgbbox_200_d8.ppm", "rgbbox", 200, 200, 8),
     ("rgbbox_200.ppm", "rgbbox", 200, 200, 50),
     ("irreg_200.ppm", "irreg", 200, 200, 50),
 ]
