@@ -63,7 +63,8 @@ def main():
                     s = salted_scene(sc, seed + i)
                     out = sum(jnp.sum(x) for x in jax.tree.leaves(
                         prepare_scene(s, H, W, leaf_size=8,
-                                      with_pallas=(mode == "pallas")))
+                                      with_pallas=(mode == "pallas"),
+                                      with_bvh=(mode != "pallas")))
                         if jnp.issubdtype(x.dtype, jnp.floating))
                     return acc + out, None
                 tot, _ = jax.lax.scan(body, jnp.float32(0),

@@ -29,11 +29,14 @@ class PreparedScene(NamedTuple):
 
 def prepare_scene(scene: Scene, height: int, width: int,
                   leaf_size: int = 8,
-                  with_pallas: bool = False) -> PreparedScene:
+                  with_pallas: bool = False,
+                  with_bvh: bool = True) -> PreparedScene:
     """Build acceleration + camera for a scene (futhark/ray.fut:241-244).
 
     vup=(0,1,0), aspect = w/h, per the reference.  ``with_pallas`` also
-    builds the megakernel scene layout (TPU fast path).
+    builds the megakernel scene layout (TPU fast path); ``with_bvh=False``
+    skips the deep traversal tree when only the megakernel will render
+    (the megakernel needs just the Morton clustering — half the build).
     """
     from .pallas_kernel import build_pallas_scene
 
@@ -41,7 +44,8 @@ def prepare_scene(scene: Scene, height: int, width: int,
                  width / height)
     return PreparedScene(
         spheres=scene.spheres,
-        bvh=build_bvh(scene.spheres, leaf_size=leaf_size),
+        bvh=build_bvh(scene.spheres, leaf_size=leaf_size) if with_bvh
+        else None,
         cam=cam,
         pallas=build_pallas_scene(scene.spheres) if with_pallas else None)
 

@@ -215,16 +215,22 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 tile: int, n_clusters: int, max_depth: int,
                 far_root: bool, cull: bool, gen_rays: bool = True,
                 emit_state: bool = False, block_tiled: bool = False,
-                emit_float: bool = False, record: bool = False):
+                emit_float: bool = False, record: bool = False,
+                hbm_spheres: bool = False):
     T = tile
     C = n_clusters
     CB = aabb_ref.shape[0]
     CR = aabb_ref.shape[1]            # cull rows per block (8..128)
     n_in = 0 if gen_rays else N_STATE
     state_in = refs[:n_in]
-    out_refs = refs[n_in:-2]
-    hits_ref = refs[-2]
-    hits2_ref = refs[-1]
+    if hbm_spheres:
+        # trailing scratches: sphere-block DMA buffers + semaphores
+        (hits_ref, hits2_ref, bufT_ref, buf8_ref, semT, sem8) = refs[-6:]
+        out_refs = refs[n_in:-6]
+    else:
+        out_refs = refs[n_in:-2]
+        hits_ref = refs[-2]
+        hits2_ref = refs[-1]
     if record:
         rec_ref = out_refs[-1]
         out_refs = out_refs[:-1]
@@ -362,7 +368,19 @@ def _megakernel(params_ref,               # SMEM (24,) f32
 
             def do_visit(carry):
                 krun, pay = carry[0], carry[1]
-                blkT = sphT_ref[pl.ds(c, 1), :, :].reshape(LANE, 8)
+                if hbm_spheres:
+                    # sphere tables exceed VMEM at this C: stream the
+                    # cluster's two blocks from HBM (4 KB + 4 KB)
+                    dT = pltpu.make_async_copy(sphT_ref.at[c], bufT_ref,
+                                               semT)
+                    d8 = pltpu.make_async_copy(sph8_ref.at[c], buf8_ref,
+                                               sem8)
+                    dT.start()
+                    d8.start()
+                    dT.wait()
+                    blkT = bufT_ref[:, :]
+                else:
+                    blkT = sphT_ref[pl.ds(c, 1), :, :].reshape(LANE, 8)
                 sx = blkT[:, _F_CX:_F_CX + 1]            # (128, 1)
                 sy = blkT[:, _F_CY:_F_CY + 1]
                 sz = blkT[:, _F_CZ:_F_CZ + 1]
@@ -392,8 +410,13 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 # reads back the winner's fields EXACTLY (single nonzero
                 # term per output; 3-pass bf16 covers the f32 mantissa)
                 onehot = (key == kmin).astype(jnp.float32) * impf
+                if hbm_spheres:
+                    d8.wait()
+                    blk8 = buf8_ref[:, :]
+                else:
+                    blk8 = sph8_ref[pl.ds(c, 1), :, :].reshape(8, LANE)
                 pay_c = jax.lax.dot_general(
-                    sph8_ref[pl.ds(c, 1), :, :].reshape(8, LANE), onehot,
+                    blk8, onehot,
                     (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)  # (8, T)
@@ -407,24 +430,72 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                     return (krun, pay, cidx)
                 return (krun, pay)
 
+            # occlusion gate (C > 16 scenes): re-test this cluster's
+            # AABB against the CURRENT best t — clusters entirely behind
+            # the closest hit so far are skipped.  Morton order makes the
+            # sweep roughly front-to-back for coherent tiles, so this is
+            # the TPU analogue of the reference's shrinking-t_max descent
+            # (futhark/bvh.fut:61-84 via objs_hit's fold).  Skipping only
+            # changes winners within one 2^-16 key-floor bucket (ties).
+            occl = cull and C > 16
+
+            def gated(carry):
+                if not occl:
+                    return do_visit(carry)
+                cb_g = c // CR
+                r_g = c - cb_g * CR
+                lo = hi = None
+                for fmn, fmx, oo, inv in ((_A_MNX, _A_MXX, ox, inv_dx),
+                                          (_A_MNY, _A_MXY, oy, inv_dy),
+                                          (_A_MNZ, _A_MXZ, oz, inv_dz)):
+                    t0 = (aabb_ref[cb_g, r_g, fmn] - oo) * inv   # (1, T)
+                    t1 = (aabb_ref[cb_g, r_g, fmx] - oo) * inv
+                    alo = jnp.minimum(t0, t1)
+                    ahi = jnp.maximum(t0, t1)
+                    lo = alo if lo is None else jnp.maximum(lo, alo)
+                    hi = ahi if hi is None else jnp.minimum(hi, ahi)
+                best_f = jax.lax.bitcast_convert_type(
+                    carry[0] & key_mask, jnp.float32)
+                ok = ~(jnp.minimum(hi, _BIG) <= jnp.maximum(lo, T_MIN))
+                ok &= lo < best_f
+                n_ok = jnp.sum(ok.astype(jnp.float32))
+                return jax.lax.cond(n_ok > 0.0, do_visit, lambda x: x,
+                                    carry)
+
             if not cull:
                 return do_visit(carry)
-            return jax.lax.cond(anyhit > 0.0, do_visit, lambda x: x, carry)
+            return jax.lax.cond(anyhit > 0.0, gated, lambda x: x, carry)
 
         init = (jnp.full((1, T), krun_init),
                 jnp.ones((8, T), jnp.float32))
         if record:
             init = init + (jnp.zeros((1, T), jnp.int32),)
+
+        def sweep_range(lo_c, n, carry):
+            """Visit clusters [lo_c, lo_c+n) with 8-cluster group gates:
+            one scalar flag-sum skips 8 cond evaluations at a time."""
+            if not cull or n <= 8:
+                return jax.lax.fori_loop(lo_c, lo_c + n, visit, carry)
+            for g0 in range(lo_c, lo_c + n, 8):
+                gn = min(8, lo_c + n - g0)
+                gsum = sum(hits_ref[g0 + j, 0] for j in range(gn))
+                carry = jax.lax.cond(
+                    gsum > 0.0,
+                    lambda x, g0=g0, gn=gn: jax.lax.fori_loop(
+                        g0, g0 + gn, visit, x),
+                    lambda x: x, carry)
+            return carry
+
         if not (cull and CB > 1):
-            return jax.lax.fori_loop(0, C, visit, init)
+            return sweep_range(0, C, init)
         # scene-scale sweep: per-block scalar gate around each cluster run
         carry = init
         for cb in range(CB):
             n_in_block = min(CR, C - cb * CR)
             carry = jax.lax.cond(
                 hits2_ref[cb, 0] > 0.0,
-                lambda x, cb=cb, n=n_in_block: jax.lax.fori_loop(
-                    cb * CR, cb * CR + n, visit, x),
+                lambda x, cb=cb, n=n_in_block: sweep_range(
+                    cb * CR, n, x),
                 lambda x: x, carry)
         return carry
 
@@ -656,17 +727,24 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
     C = scene.n_clusters
     CB = scene.aabbT.shape[0]
     CR = scene.aabbT.shape[1]
+    # sphere tables are 8 KB/cluster; beyond ~1024 clusters (8 MB) they
+    # cannot share VMEM with the tile pipeline — keep them in HBM and DMA
+    # per visited cluster instead
+    hbm_spheres = C > 1024
     kernel = functools.partial(_megakernel, tile=tile, n_clusters=C,
                                max_depth=max_depth, far_root=far_root,
                                cull=cull, gen_rays=gen_rays,
                                emit_state=emit_state,
                                block_tiled=block_tiled,
-                               emit_float=emit_float, record=record)
+                               emit_float=emit_float, record=record,
+                               hbm_spheres=hbm_spheres)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     SBR = scene.superT.shape[1]
+    sph_space = (pl.BlockSpec(memory_space=pltpu.ANY) if hbm_spheres
+                 else None)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                vm((C, LANE, 8), lambda i: (0, 0, 0)),
-                vm((C, 8, LANE), lambda i: (0, 0, 0)),
+                sph_space or vm((C, LANE, 8), lambda i: (0, 0, 0)),
+                sph_space or vm((C, 8, LANE), lambda i: (0, 0, 0)),
                 vm((CB, CR, 8), lambda i: (0, 0, 0)),
                 vm((1, SBR, 8), lambda i: (0, 0, 0))]
     args = [params, scene.sphT, scene.sph8, scene.aabbT, scene.superT]
@@ -701,7 +779,11 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((CB * CR, 1), jnp.float32),
-                        pltpu.VMEM((SBR, 1), jnp.float32)],
+                        pltpu.VMEM((SBR, 1), jnp.float32)]
+        + ([pltpu.VMEM((LANE, 8), jnp.float32),
+            pltpu.VMEM((8, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+           if hbm_spheres else []),
         interpret=interpret,
     )(*args)
 
