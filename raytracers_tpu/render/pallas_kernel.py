@@ -224,9 +224,9 @@ def _megakernel(params_ref,               # SMEM (24,) f32
     n_in = 0 if gen_rays else N_STATE
     state_in = refs[:n_in]
     if hbm_spheres:
-        # trailing scratches: sphere-block DMA buffers + semaphores
-        (hits_ref, hits2_ref, bufT_ref, buf8_ref, semT, sem8) = refs[-6:]
-        out_refs = refs[n_in:-6]
+        # trailing scratches: sphere-block DMA buffer + semaphore
+        (hits_ref, hits2_ref, buf8_ref, sem8) = refs[-4:]
+        out_refs = refs[n_in:-4]
     else:
         out_refs = refs[n_in:-2]
         hits_ref = refs[-2]
@@ -348,6 +348,13 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         # Phase A: min/max slab culling over cluster blocks, masked by the
         # live rays; per-cluster any-live-hit flags land in VMEM scratch
         # (cluster, 1) for the scalar visit-skip reads.
+        if cull and CB > 4 and CB * CR > C:
+            # dynamic sweeps run full [block, group] ranges: padding
+            # clusters (empty boxes test always-HIT under min/max slabs)
+            # must carry zero flags so their visit conds never fire
+            pad_rows = CB * CR - C
+            hits_ref[pl.ds(C, pad_rows), :] = jnp.zeros(
+                (pad_rows, 1), jnp.float32)
         for cb in ([] if not cull else range(CB)):
             def cull_block(cb=cb):
                 blk = aabb_ref[pl.ds(cb, 1), :, :].reshape(CR, 8)
@@ -370,15 +377,14 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 krun, pay = carry[0], carry[1]
                 if hbm_spheres:
                     # sphere tables exceed VMEM at this C: stream the
-                    # cluster's two blocks from HBM (4 KB + 4 KB)
-                    dT = pltpu.make_async_copy(sphT_ref.at[c], bufT_ref,
-                                               semT)
+                    # cluster's (8,128) block from HBM (lane-aligned DMA;
+                    # a (128,8) slice would violate Mosaic tiling) and
+                    # transpose in-register for the column views
                     d8 = pltpu.make_async_copy(sph8_ref.at[c], buf8_ref,
                                                sem8)
-                    dT.start()
                     d8.start()
-                    dT.wait()
-                    blkT = bufT_ref[:, :]
+                    d8.wait()
+                    blkT = jnp.swapaxes(buf8_ref[:, :], 0, 1)
                 else:
                     blkT = sphT_ref[pl.ds(c, 1), :, :].reshape(LANE, 8)
                 sx = blkT[:, _F_CX:_F_CX + 1]            # (128, 1)
@@ -411,7 +417,6 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 # term per output; 3-pass bf16 covers the f32 mantissa)
                 onehot = (key == kmin).astype(jnp.float32) * impf
                 if hbm_spheres:
-                    d8.wait()
                     blk8 = buf8_ref[:, :]
                 else:
                     blk8 = sph8_ref[pl.ds(c, 1), :, :].reshape(8, LANE)
@@ -488,16 +493,43 @@ def _megakernel(params_ref,               # SMEM (24,) f32
 
         if not (cull and CB > 1):
             return sweep_range(0, C, init)
-        # scene-scale sweep: per-block scalar gate around each cluster run
-        carry = init
-        for cb in range(CB):
-            n_in_block = min(CR, C - cb * CR)
-            carry = jax.lax.cond(
-                hits2_ref[cb, 0] > 0.0,
-                lambda x, cb=cb, n=n_in_block: sweep_range(
-                    cb * CR, n, x),
-                lambda x: x, carry)
-        return carry
+        if CB <= 4:
+            # unrolled: per-block scalar gate around each cluster run
+            carry = init
+            for cb in range(CB):
+                n_in_block = min(CR, C - cb * CR)
+                carry = jax.lax.cond(
+                    hits2_ref[cb, 0] > 0.0,
+                    lambda x, cb=cb, n=n_in_block: sweep_range(
+                        cb * CR, n, x),
+                    lambda x: x, carry)
+            return carry
+
+        # scene-scale sweep, fully dynamic (unrolling 60+ blocks explodes
+        # compile time): block cond -> 8-cluster group cond -> visit cond.
+        # Padding-cluster flags were zeroed after culling, so dynamic
+        # bounds never reach a visit body with c >= C.
+        def group_body(args):
+            cb, g, carry = args
+
+            def gated_group(carry):
+                base = cb * CR + g * 8
+                return jax.lax.fori_loop(base, base + 8, visit, carry)
+
+            base = cb * CR + g * 8
+            gsum = sum(hits_ref[base + j, 0] for j in range(8))
+            return jax.lax.cond(gsum > 0.0, gated_group,
+                                lambda x: x, carry)
+
+        def block_body(cb, carry):
+            def groups(carry):
+                return jax.lax.fori_loop(
+                    0, CR // 8,
+                    lambda g, x: group_body((cb, g, x)), carry)
+            return jax.lax.cond(hits2_ref[cb, 0] > 0.0, groups,
+                                lambda x: x, carry)
+
+        return jax.lax.fori_loop(0, CB, block_body, init)
 
     def bounce_body(state):
         (depth, n_active, ox, oy, oz, dx, dy, dz,
@@ -780,9 +812,8 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((CB * CR, 1), jnp.float32),
                         pltpu.VMEM((SBR, 1), jnp.float32)]
-        + ([pltpu.VMEM((LANE, 8), jnp.float32),
-            pltpu.VMEM((8, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+        + ([pltpu.VMEM((8, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA(())]
            if hbm_spheres else []),
         interpret=interpret,
     )(*args)
@@ -824,14 +855,20 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
                              emit_state=True)
     flat = [s.reshape(Rp) for s in state]
     active = flat[-1]
-    perm = jnp.argsort(1.0 - active, stable=True)
-    packed_state = [s[perm].reshape(num_tiles, 1, tile) for s in flat]
+    # ONE fused multi-operand sort moves every state array + the pixel id
+    # in a single pass (measured ~3x cheaper than argsort + 13 gathers,
+    # docs/PERF_NOTES.md compaction experiment)
+    pixel_id = jnp.arange(Rp, dtype=jnp.int32)
+    sorted_all = jax.lax.sort([1.0 - active] + flat + [pixel_id],
+                              dimension=0, is_stable=True, num_keys=1)
+    packed_state = [s.reshape(num_tiles, 1, tile) for s in sorted_all[1:-1]]
+    idx_sorted = sorted_all[-1]
     out = _call_megakernel(scene, params, num_tiles, tile,
                            max_depth - phase1_depth, far_root, cull,
                            interpret, gen_rays=False, emit_state=False,
                            state_in=packed_state)
-    # undo the permutation: result for original ray i sits at position
-    # inv[i]; scatter back with one gather by inverse permutation.
+    # scatter each ray's pixel back to its original position
     out_sorted = out.reshape(Rp)
-    unsorted = jnp.zeros_like(out_sorted).at[perm].set(out_sorted)
+    unsorted = jnp.zeros((Rp,), out_sorted.dtype).at[idx_sorted].set(
+        out_sorted)
     return unsorted[:R].reshape(height, width)

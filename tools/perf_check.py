@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--cull", default="auto")
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--res", type=int, default=1000)
+    ap.add_argument("--twophase", type=int, default=0,
+                    help="phase-1 depth for survivor compaction (0=off)")
     args = ap.parse_args()
 
     import jax
@@ -47,9 +49,15 @@ def main():
         if args.block != "none" else None
     cull = {"auto": None, "on": True, "off": False}[args.cull]
 
-    fn = jax.jit(lambda ps, cam: jnp.sum(render_pallas(
-        ps, cam, W, H, max_depth=args.depth, tile=args.tile, block=block,
-        cull=cull)))
+    if args.twophase:
+        from raytracers_tpu.render.pallas_kernel import render_pallas_twophase
+        fn = jax.jit(lambda ps, cam: jnp.sum(render_pallas_twophase(
+            ps, cam, W, H, max_depth=args.depth,
+            phase1_depth=args.twophase, tile=args.tile, cull=cull)))
+    else:
+        fn = jax.jit(lambda ps, cam: jnp.sum(render_pallas(
+            ps, cam, W, H, max_depth=args.depth, tile=args.tile,
+            block=block, cull=cull)))
     t0 = time.perf_counter()
     jax.device_get(fn(ps, cam))
     compile_s = time.perf_counter() - t0
@@ -60,7 +68,8 @@ def main():
                       runs=args.runs)
     rays = W * H / dt
     print(f"{args.scene} {W}x{H} d{args.depth} tile={args.tile} "
-          f"block={block} cull={args.cull}: {dt*1e3:.2f} ms "
+          f"block={block} cull={args.cull} 2ph={args.twophase}: "
+          f"{dt*1e3:.2f} ms "
           f"({rays/1e6:.1f} Mrays/s; compile {compile_s:.0f}s)")
 
 
