@@ -109,3 +109,21 @@ def test_pallas_scene_scale_100k():
     ref = np.asarray(render_packed(make_closest_hit(sph, "matmul"), sph,
                                    cam, 16, 16, max_depth=2, chunk=256))
     assert (img != ref).mean() < 0.05
+
+
+def test_pallas_hbm_streamed_dynamic_sweep_200k():
+    """>1024-cluster scenes: sphere tables live in HBM (per-visit DMA)
+    and the visit sweep is the fully dynamic block->group->cluster cond
+    nest.  Exact vs the brute oracle at depth 1."""
+    from raytracers_tpu.scenes import random_spheres
+    from raytracers_tpu.render.bruteforce import make_closest_hit
+    from raytracers_tpu.render.tracer import render_packed
+    sph = random_spheres(200_000, seed=3, extent=500.0)
+    ps = build_pallas_scene(sph)
+    assert ps.sphT.shape[0] > 1024        # HBM + dynamic sweep engaged
+    cam = camera((0., 0., 650.), (0., 0., 0.), (0., 1., 0.), 60.0, 1.0)
+    img = np.asarray(render_pallas(ps, cam, 8, 8, max_depth=1,
+                                   interpret=True))
+    ref = np.asarray(render_packed(make_closest_hit(sph, "matmul"), sph,
+                                   cam, 8, 8, max_depth=1, chunk=64))
+    np.testing.assert_array_equal(img, ref)
