@@ -823,52 +823,89 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
                            height: int, max_depth: int = MAX_DEPTH,
                            phase1_depth: int = 6, tile: int = DEFAULT_TILE,
                            far_root: bool = True, interpret: bool = False,
-                           cull: bool | None = None):
+                           cull: bool | None = None,
+                           block: tuple | None = None):
     """Two-phase render with survivor compaction between phases.
 
-    A tile's bounce loop runs until its DEEPEST ray dies, so a handful of
-    mirror-trap rays inflate whole tiles to ~50 bounces.  Phase 1 traces
-    everything to ``phase1_depth`` and emits full ray state; an XLA stable
-    sort then packs the surviving (still-active) rays into a contiguous
-    prefix, so in phase 2 only ~ceil(survivors/tile) tiles do deep work and
-    every dead tile exits after one cheap loop-condition check.  Per-ray
-    arithmetic is identical to the single-phase kernel, so the image is
-    bit-identical.  (Measured a net LOSS on both benchmark scenes — the
-    tile-depth distribution is flat, docs/PERF_NOTES.md — kept as an
-    option and as the template for wavefront scheduling.)
+    A tile's bounce loop runs until its DEEPEST ray dies; with measured
+    (32,16)-tile max depth ~21 vs mean ray depth ~4 on rgbbox
+    (tools/depth_stats.py), most single-phase work is late bounces on
+    mostly-dead tiles.  Phase 1 traces everything to ``phase1_depth`` and
+    emits full ray state; ONE fused multi-operand ``lax.sort`` (all 13
+    state arrays + pixel ids in a single pass — ~3x cheaper than argsort
+    + 13 gathers) packs survivors into a contiguous prefix, so phase 2
+    runs deep bounces on ~ceil(survivors/tile) tiles while dead tiles
+    exit after one loop-condition check.  Per-ray arithmetic is identical
+    to the single-phase kernel, so the image is bit-identical.  Measured:
+    rgbbox 1000x1000 d50 164 -> 94 ms at phase1_depth=6.
+
+    ``block=(bh,bw)``: 2-D block tiles for phase 1's ray generation
+    (tighter cluster unions); phase 2 is position-independent.
     """
     if cull is None:
         cull = scene.n_clusters > 1
-    R = width * height
-    num_tiles = -(-R // tile)
-    Rp = num_tiles * tile
-    params = jnp.concatenate([
-        cam.llc, cam.horizontal, cam.vertical, cam.origin,
-        jnp.zeros((4,), jnp.float32),
-        jnp.asarray([width, height, 1.0 / width, 1.0 / height],
-                    jnp.float32),
-        jnp.zeros((4,), jnp.float32),
-    ]).astype(jnp.float32)
+    if block is not None:
+        bh, bw = block
+        assert bh * bw == tile, (block, tile)
+        wp = -(-width // bw) * bw
+        hp = -(-height // bh) * bh
+        num_tiles = (wp // bw) * (hp // bh)
+        Rp = num_tiles * tile
+        params = jnp.concatenate([
+            cam.llc, cam.horizontal, cam.vertical, cam.origin,
+            jnp.zeros((4,), jnp.float32),
+            jnp.asarray([width, height, 1.0 / width, 1.0 / height],
+                        jnp.float32),
+            jnp.asarray([wp // bw, bw, bh, 1.0 / (wp // bw)],
+                        jnp.float32),
+        ]).astype(jnp.float32)
+    else:
+        R = width * height
+        num_tiles = -(-R // tile)
+        Rp = num_tiles * tile
+        params = jnp.concatenate([
+            cam.llc, cam.horizontal, cam.vertical, cam.origin,
+            jnp.zeros((4,), jnp.float32),
+            jnp.asarray([width, height, 1.0 / width, 1.0 / height],
+                        jnp.float32),
+            jnp.zeros((4,), jnp.float32),
+        ]).astype(jnp.float32)
 
     state = _call_megakernel(scene, params, num_tiles, tile, phase1_depth,
                              far_root, cull, interpret, gen_rays=True,
-                             emit_state=True)
+                             emit_state=True, block_tiled=block is not None)
     flat = [s.reshape(Rp) for s in state]
     active = flat[-1]
-    # ONE fused multi-operand sort moves every state array + the pixel id
-    # in a single pass (measured ~3x cheaper than argsort + 13 gathers,
-    # docs/PERF_NOTES.md compaction experiment)
+    # terminated rays' colours become the base image directly (live rays
+    # hold result = 0 until they terminate, so they pack to 0 here and a
+    # phase-2 scatter overwrites them) — this keeps rr/rg/rb OUT of the
+    # compaction sort: 11 operands instead of 14
+    pr = (255.99 * flat[9]).astype(jnp.int32)
+    pg = (255.99 * flat[10]).astype(jnp.int32)
+    pb = (255.99 * flat[11]).astype(jnp.int32)
+    base_pix = (pr << 16) | (pg << 8) | pb
     pixel_id = jnp.arange(Rp, dtype=jnp.int32)
-    sorted_all = jax.lax.sort([1.0 - active] + flat + [pixel_id],
-                              dimension=0, is_stable=True, num_keys=1)
-    packed_state = [s.reshape(num_tiles, 1, tile) for s in sorted_all[1:-1]]
-    idx_sorted = sorted_all[-1]
+    sorted_all = jax.lax.sort(
+        [1.0 - active] + flat[:9] + [active, pixel_id],
+        dimension=0, is_stable=True, num_keys=1)
+    zeros = jnp.zeros((num_tiles, 1, tile), jnp.float32)
+    packed_state = ([s.reshape(num_tiles, 1, tile) for s in sorted_all[1:10]]
+                    + [zeros, zeros, zeros,
+                       sorted_all[10].reshape(num_tiles, 1, tile)])
+    active_sorted = sorted_all[10]
+    idx_sorted = sorted_all[11]
     out = _call_megakernel(scene, params, num_tiles, tile,
                            max_depth - phase1_depth, far_root, cull,
                            interpret, gen_rays=False, emit_state=False,
                            state_in=packed_state)
-    # scatter each ray's pixel back to its original position
+    # scatter only the SURVIVORS' pixels over the base image (dead-sorted
+    # lanes re-pack black in phase 2; dropping them preserves phase-1
+    # colours bit-for-bit)
     out_sorted = out.reshape(Rp)
-    unsorted = jnp.zeros((Rp,), out_sorted.dtype).at[idx_sorted].set(
-        out_sorted)
+    idx_eff = jnp.where(active_sorted > 0.0, idx_sorted, Rp)
+    unsorted = base_pix.at[idx_eff].set(out_sorted, mode="drop")
+    if block is not None:
+        img = (unsorted.reshape(hp // bh, wp // bw, bh, bw)
+               .transpose(0, 2, 1, 3).reshape(hp, wp))
+        return img[:height, :width]
     return unsorted[:R].reshape(height, width)

@@ -127,3 +127,18 @@ def test_pallas_hbm_streamed_dynamic_sweep_200k():
     ref = np.asarray(render_packed(make_closest_hit(sph, "matmul"), sph,
                                    cam, 8, 8, max_depth=1, chunk=64))
     np.testing.assert_array_equal(img, ref)
+
+
+def test_twophase_block_tiled_bit_identical():
+    """Block-tiled phase-1 compaction reproduces the block-tiled
+    single-phase render exactly."""
+    from raytracers_tpu.render.pallas_kernel import render_pallas_twophase
+    sc = scenes.rgbbox()
+    ps = build_pallas_scene(sc.spheres)
+    cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
+    a = np.asarray(render_pallas(ps, cam, 52, 44, max_depth=50, tile=256,
+                                 block=(16, 16), interpret=True))
+    b = np.asarray(render_pallas_twophase(ps, cam, 52, 44, max_depth=50,
+                                          phase1_depth=5, tile=256,
+                                          block=(16, 16), interpret=True))
+    np.testing.assert_array_equal(a, b)

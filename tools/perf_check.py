@@ -53,7 +53,8 @@ def main():
         from raytracers_tpu.render.pallas_kernel import render_pallas_twophase
         fn = jax.jit(lambda ps, cam: jnp.sum(render_pallas_twophase(
             ps, cam, W, H, max_depth=args.depth,
-            phase1_depth=args.twophase, tile=args.tile, cull=cull)))
+            phase1_depth=args.twophase, tile=args.tile, cull=cull,
+            block=block)))
     else:
         fn = jax.jit(lambda ps, cam: jnp.sum(render_pallas(
             ps, cam, W, H, max_depth=args.depth, tile=args.tile,
