@@ -68,11 +68,20 @@ def render(prepared: PreparedScene, height: int, width: int,
     with_pallas=True); other modes use the XLA tracer.
     """
     if mode == "pallas":
-        from .pallas_kernel import render_pallas
+        from .pallas_kernel import render_pallas, render_pallas_twophase
         if prepared.pallas is None:
             raise ValueError("prepare_scene(..., with_pallas=True) required "
                              "for mode='pallas'")
-        # 2-D block tiles measured best (1.7x on irreg, neutral on rgbbox)
+        # 2-D block tiles measured best (1.7x on irreg, neutral on rgbbox);
+        # deep renders use survivor compaction: a (32,16) tile's max bounce
+        # depth is ~21 while the mean ray needs ~4, so packing the ~15% of
+        # rays still alive after 6 bounces into dense tiles nearly halves
+        # the wall time (rgbbox 164 -> 93 ms, irreg 77 -> 73 ms measured)
+        if max_depth >= 16:
+            return render_pallas_twophase(
+                prepared.pallas, prepared.cam, width, height,
+                max_depth=max_depth, phase1_depth=6, interpret=interpret,
+                block=(32, 16))
         return render_pallas(prepared.pallas, prepared.cam, width, height,
                              max_depth=max_depth, interpret=interpret,
                              block=(32, 16))
