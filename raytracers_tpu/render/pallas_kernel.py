@@ -87,10 +87,12 @@ class PallasScene(NamedTuple):
     transposes.
     ``sph8``:  (C, 8, 128) f32 — same data transposed, the LHS of the
     one-hot payload matmul.
-    ``aabbT``: (CB, 128, 8) f32 — [block, cluster-in-block, face] with
-    faces mnx..mxz (padding clusters carry an empty box min=+inf,
-    max=-inf; under the min/max slab they test as always-hit, but their
-    flags are never read: the visit loop is bounded by C).
+    ``aabbT``: (CB, CR, 8) f32 — [block, cluster-in-block, face] with
+    faces mnx..mxz and CR = min(128, roundup(C, 8)) cull rows per block
+    (small scenes cull on narrow arrays).  Padding clusters carry an
+    empty box min=+inf, max=-inf; under the min/max slab they test as
+    always-hit, but their flags are either never read (static sweeps are
+    bounded by C) or zeroed after culling (dynamic sweeps).
     ``superT``: (1, SBR, 8) f32 — per-BLOCK union AABBs (SBR =
     roundup(CB, 8)): the level-1 cull table for scene-scale rendering.
     ``order`` maps (cluster*128 + lane) -> original sphere index (-1 pad).
