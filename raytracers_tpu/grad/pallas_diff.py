@@ -25,13 +25,12 @@ on the caller's sphere array directly.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 from ..geometry import MAX_DEPTH, Camera, Spheres
-from ..render.pallas_kernel import LANE, build_pallas_scene, render_pallas_record
+from ..render.pallas_kernel import (build_pallas_scene,
+                                    render_pallas_record)
 from ..render.tracer import primary_rays
 from .diff_render import (EV_ABSORB, EV_BOUNCE, EV_INACTIVE, EV_MISS,
                           replay_paths)

@@ -22,8 +22,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from ..geometry import (MAX_DEPTH, SCENE_EPSILON, T_MAX, T_MIN, Camera,
-                        Spheres, get_ray, reflect, sky_colour, sphere_hit_t)
+from ..geometry import (MAX_DEPTH, T_MIN, Camera, Spheres, get_ray,
+                        reflect, sky_colour, sphere_hit_t)
 from ..vec import dot, normalise
 from ..image import colour_to_pixel
 
