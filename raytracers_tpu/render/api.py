@@ -91,7 +91,19 @@ def render(prepared: PreparedScene, height: int, width: int,
 
 def render_float(prepared: PreparedScene, height: int, width: int,
                  mode: str = "bvh", max_depth: int = MAX_DEPTH,
-                 chunk: int | None = None):
-    """Render to float colours (h, w, 3) — the differentiable output."""
+                 chunk: int | None = None, interpret: bool = False):
+    """Render to float colours (h, w, 3) — the differentiable output.
+
+    mode="pallas" uses the megakernel's float-emitting record mode (for
+    gradients through it use grad.pallas_diff.make_render_pallas_diff)."""
+    if mode == "pallas":
+        from .pallas_kernel import render_pallas_record
+        if prepared.pallas is None:
+            raise ValueError("prepare_scene(..., with_pallas=True) required "
+                             "for mode='pallas'")
+        colours, _ = render_pallas_record(
+            prepared.pallas, prepared.cam, width, height,
+            max_depth=max_depth, interpret=interpret)
+        return colours
     return render_colours(_oracle(prepared, mode), prepared.spheres,
                           prepared.cam, width, height, max_depth, chunk)

@@ -886,16 +886,20 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     pg = (255.99 * flat[10]).astype(jnp.int32)
     pb = (255.99 * flat[11]).astype(jnp.int32)
     base_pix = (pr << 16) | (pg << 8) | pb
-    pixel_id = jnp.arange(Rp, dtype=jnp.int32)
-    sorted_all = jax.lax.sort(
-        [1.0 - active] + flat[:9] + [active, pixel_id],
-        dimension=0, is_stable=True, num_keys=1)
+    # one int32 key carries (dead-flag << 30) | pixel_id: live rays sort
+    # first, ties resolve by pixel id (stability for free), and the sort
+    # runs on 10 operands instead of 13
+    dead = (active <= 0.0).astype(jnp.int32)
+    key = (dead << 30) | jnp.arange(Rp, dtype=jnp.int32)
+    sorted_all = jax.lax.sort([key] + flat[:9], dimension=0, num_keys=1)
+    key_sorted = sorted_all[0]
+    active_sorted = (key_sorted >> 30) == 0
+    idx_sorted = key_sorted & ((1 << 30) - 1)
     zeros = jnp.zeros((num_tiles, 1, tile), jnp.float32)
     packed_state = ([s.reshape(num_tiles, 1, tile) for s in sorted_all[1:10]]
                     + [zeros, zeros, zeros,
-                       sorted_all[10].reshape(num_tiles, 1, tile)])
-    active_sorted = sorted_all[10]
-    idx_sorted = sorted_all[11]
+                       active_sorted.astype(jnp.float32).reshape(
+                           num_tiles, 1, tile)])
     out = _call_megakernel(scene, params, num_tiles, tile,
                            max_depth - phase1_depth, far_root, cull,
                            interpret, gen_rays=False, emit_state=False,
@@ -904,7 +908,7 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     # lanes re-pack black in phase 2; dropping them preserves phase-1
     # colours bit-for-bit)
     out_sorted = out.reshape(Rp)
-    idx_eff = jnp.where(active_sorted > 0.0, idx_sorted, Rp)
+    idx_eff = jnp.where(active_sorted, idx_sorted, Rp)
     unsorted = base_pix.at[idx_eff].set(out_sorted, mode="drop")
     if block is not None:
         img = (unsorted.reshape(hp // bh, wp // bw, bh, bw)
