@@ -98,8 +98,13 @@ def _gather_sphere_params(spheres: Spheres, safe_idx, mode: str):
 
 
 def replay_paths(spheres: Spheres, origins, dirs, idxs, events,
-                 gather: str = "take"):
-    """Phase 2: differentiable shading replay -> colours (R, 3)."""
+                 gather: str = "take", remat: bool = False):
+    """Phase 2: differentiable shading replay -> colours (R, 3).
+
+    ``remat=True`` rematerialises each step in the backward pass instead
+    of storing residuals — essential for gather="onehot" at scale, where
+    the (R, N) one-hot would otherwise be kept alive for all D steps
+    (50 x 1e6 x 400 f32 = 51 GB at the north-star config)."""
 
     def step(carry, rec):
         o, d, light, result = carry
@@ -127,8 +132,9 @@ def replay_paths(spheres: Spheres, origins, dirs, idxs, events,
 
     light0 = jnp.ones_like(origins)
     result0 = jnp.zeros_like(origins)
+    step_fn = jax.checkpoint(step) if remat else step
     (o, d, light, result), _ = jax.lax.scan(
-        step, (origins, dirs, light0, result0), (idxs, events))
+        step_fn, (origins, dirs, light0, result0), (idxs, events))
     return result
 
 

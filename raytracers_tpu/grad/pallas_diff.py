@@ -50,7 +50,8 @@ def _rec_to_path(rec_orig):
 def make_render_pallas_diff(width: int, height: int,
                             max_depth: int = MAX_DEPTH, tile: int = 512,
                             interpret: bool = False,
-                            bwd_chunks: int = 1, gather: str = "onehot"):
+                            bwd_chunks: int = 1, gather: str = "onehot",
+                            remat: bool = True):
     """Build a differentiable ``f(spheres, cam) -> colours (h, w, 3)``
     whose forward pass is the Pallas megakernel.
 
@@ -91,7 +92,8 @@ def make_render_pallas_diff(width: int, height: int,
             o_c, d_c, idx_c, ev_c, g_c = args
             _, vjp = jax.vjp(
                 lambda sph, oo, dd: replay_paths(sph, oo, dd, idx_c,
-                                                 ev_c, gather=gather),
+                                                 ev_c, gather=gather,
+                                                 remat=remat),
                 spheres, o_c, d_c)
             return vjp(g_c)
 

@@ -444,7 +444,7 @@ def _megakernel(params_ref,               # SMEM (24,) f32
             # the TPU analogue of the reference's shrinking-t_max descent
             # (futhark/bvh.fut:61-84 via objs_hit's fold).  Skipping only
             # changes winners within one 2^-16 key-floor bucket (ties).
-            occl = cull and C > 16
+            occl = cull and C > 2
 
             def gated(carry):
                 if not occl:
