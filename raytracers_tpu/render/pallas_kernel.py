@@ -444,7 +444,10 @@ def _megakernel(params_ref,               # SMEM (24,) f32
             # the TPU analogue of the reference's shrinking-t_max descent
             # (futhark/bvh.fut:61-84 via objs_hit's fold).  Skipping only
             # changes winners within one 2^-16 key-floor bucket (ties).
-            occl = cull and C > 2
+            # measured: the gate pays for C > 16 (irreg 87 -> 77 ms) but
+            # LOSES at rgbbox's C=4 (92 -> 111 ms: Morton order is not
+            # front-to-back and 4 gates cost more than the visits saved)
+            occl = cull and C > 16
 
             def gated(carry):
                 if not occl:
