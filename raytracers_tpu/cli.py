@@ -99,15 +99,20 @@ def main(argv=None) -> int:
         print(f"Scene BVH construction in {bvh_s:f}s.")
         prep = jax.block_until_ready(prep_fn(scene))
 
+        # the megakernel only compiles on TPU hardware; elsewhere run it
+        # through the Pallas interpreter (slow but correct)
+        interpret = (args.mode == "pallas"
+                     and jax.devices()[0].platform != "tpu")
         if args.shard:
             from .parallel.mesh import render_sharded
             render_fn = jax.jit(lambda p: render_sharded(
                 p, args.height, args.width, mode=args.mode,
-                max_depth=args.depth))
+                max_depth=args.depth, interpret=interpret))
         else:
             render_fn = jax.jit(lambda p: render(
                 p, args.height, args.width, mode=args.mode,
-                max_depth=args.depth, chunk=args.chunk))
+                max_depth=args.depth, chunk=args.chunk,
+                interpret=interpret))
         render_s = bench_fn(render_fn, prep, runs=args.runs)
         print(f"Rendering in {render_s:f}s.")
         rays = args.width * args.height / render_s
