@@ -99,7 +99,10 @@ def main():
             kms = device_kernel_ms(tdir)
             dev_ms = max(kms.values()) if kms else None
             details[f"{name}_device_render_ms"] = dev_ms
-            log(f"{name}: device kernel time {dev_ms:.2f} ms (trace)")
+            if dev_ms is not None:
+                log(f"{name}: device kernel time {dev_ms:.2f} ms (trace)")
+            else:
+                log(f"{name}: no device kernel events in trace")
         details[f"{name}_bvh_ms"] = bvh_s * 1e3
         details[f"{name}_render_ms"] = dt * 1e3
         details[f"{name}_mrays_per_s"] = rays / 1e6
@@ -187,7 +190,6 @@ def main():
     # rust/benches/ray.rs:29-37, haskell/bench-ray.hs:32-34); each size is
     # a fresh kernel compile, so this is opt-in: bench.py --ladder
     if "--ladder" in sys.argv:
-        from raytracers_tpu.render.api import prepare_scene as _ps
         for name in ["rgbbox", "irreg"]:
             sc = scenes.by_name(name)
             for res in [100, 200, 1000]:

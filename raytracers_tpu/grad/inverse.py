@@ -122,10 +122,12 @@ def recover(target_image, cam: Camera, init_spheres: Spheres, mesh: Mesh,
         os.makedirs(checkpoint_dir, exist_ok=True)
         latest = ckpt.latest_checkpoint(checkpoint_dir)
         if latest is not None:
-            state, start = ckpt.load_train_state(latest, state)
+            # loss restored too: a resume with start >= steps runs zero
+            # iterations and must not report inf for a converged fit
+            state, start, loss0 = ckpt.load_train_state(latest, state)
     step = jax.jit(make_train_step(optimizer, mesh, max_depth, oracle_mode,
                                    trainable))
-    loss = jnp.inf
+    loss = loss0 if checkpoint_dir is not None and start > 0 else jnp.inf
     for i in range(start, steps):
         state, loss = step(state, origins, dirs, target)
         if callback is not None:
@@ -134,5 +136,6 @@ def recover(target_image, cam: Camera, init_spheres: Spheres, mesh: Mesh,
                 and ((i + 1) % checkpoint_every == 0 or i + 1 == steps)):
             from ..utils import checkpoint as ckpt
             ckpt.save_train_state(
-                os.path.join(checkpoint_dir, f"ckpt_{i + 1}"), state, i + 1)
+                os.path.join(checkpoint_dir, f"ckpt_{i + 1}"), state, i + 1,
+                loss=float(loss))
     return state.spheres, float(loss)

@@ -103,19 +103,24 @@ def make_render_pallas_diff(width: int, height: int,
             ck = -(-R // bwd_chunks)
             pad = ck * bwd_chunks - R
 
-            def pad0(x, axis):
+            def pad0(x, axis, fill=0):
                 if pad == 0:
                     return x
                 widths = [(0, 0)] * x.ndim
                 widths[axis] = (0, pad)
-                return jnp.pad(x, widths)
+                return jnp.pad(x, widths, constant_values=fill)
 
+            # padding rays must be INERT: a zero direction drives 0/0 NaNs
+            # through the replay VJP (a = d.d = 0), and events=0 would read
+            # as EV_BOUNCE — pad with unit dirs and EV_INACTIVE instead
             oo = pad0(o, 0).reshape(bwd_chunks, ck, 3)
-            dd = pad0(d, 0).reshape(bwd_chunks, ck, 3)
+            dd = jnp.where(
+                jnp.arange(ck * bwd_chunks)[:, None] < R,
+                pad0(d, 0), jnp.float32(1.0)).reshape(bwd_chunks, ck, 3)
             ii = pad0(idxs, 1).reshape(max_depth, bwd_chunks, ck) \
                 .transpose(1, 0, 2)
-            ee = pad0(events, 1).reshape(max_depth, bwd_chunks, ck) \
-                .transpose(1, 0, 2)
+            ee = pad0(events, 1, fill=EV_INACTIVE) \
+                .reshape(max_depth, bwd_chunks, ck).transpose(1, 0, 2)
             gg = pad0(gflat, 0).reshape(bwd_chunks, ck, 3)
             gs_all, go_all, gd_all = jax.lax.map(
                 chunk_grads, (oo, dd, ii, ee, gg))

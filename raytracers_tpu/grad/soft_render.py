@@ -69,7 +69,9 @@ def soft_render(spheres: Spheres, origins, dirs, sigma: float = 3e-2,
     w_bg = jnp.exp(jnp.min(logits, axis=1, keepdims=True)
                    - jax.lax.stop_gradient(
                        jnp.max(logits, axis=1, keepdims=True))) * 0.5
-    denom = jnp.sum(w, axis=1, keepdims=True) + w_bg
+    # epsilon: for a far background ray every weight (incl. w_bg) can
+    # underflow to exactly 0 in f32; 0/0 would NaN the whole optimisation
+    denom = jnp.sum(w, axis=1, keepdims=True) + w_bg + 1e-20
     sky = sky_colour(dirs)                      # (R, 3)
     colours = (w[..., None] * spheres.color[None, :, :]).sum(axis=1)
     return (colours + w_bg * sky) / denom

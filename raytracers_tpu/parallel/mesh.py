@@ -82,7 +82,7 @@ def render_pallas_sharded(scene, cam, height: int, width: int,
     offset is a runtime parameter, so one compiled kernel serves every
     shard count.
     """
-    from ..render.pallas_kernel import render_pallas
+    from ..render.pallas_kernel import render_pallas, render_pallas_twophase
 
     mesh = mesh if mesh is not None else ray_mesh()
     n = mesh.devices.size
@@ -92,10 +92,19 @@ def render_pallas_sharded(scene, cam, height: int, width: int,
     offsets = (jnp.arange(n, dtype=jnp.float32) * rows_per).reshape(n, 1)
 
     def shard_fn(offs, scene, cam):
-        slab = render_pallas(scene, cam, width, rows_per,
-                             max_depth=max_depth, tile=tile, block=block,
-                             interpret=interpret, row0=offs[0, 0],
-                             total_height=height)
+        if max_depth >= 16:
+            # same survivor-compaction policy as the unsharded render():
+            # each device sorts its own slab (per-ray arithmetic does not
+            # depend on tile grouping, so this stays bit-identical)
+            slab = render_pallas_twophase(
+                scene, cam, width, rows_per, max_depth=max_depth,
+                phase1_depth=6, tile=tile, block=block,
+                interpret=interpret, row0=offs[0, 0], total_height=height)
+        else:
+            slab = render_pallas(scene, cam, width, rows_per,
+                                 max_depth=max_depth, tile=tile, block=block,
+                                 interpret=interpret, row0=offs[0, 0],
+                                 total_height=height)
         return slab.reshape(1, rows_per, width)
 
     rep_scene = jax.tree.map(lambda _: P(), scene)

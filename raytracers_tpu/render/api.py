@@ -22,7 +22,7 @@ from .tracer import render_colours, render_packed
 class PreparedScene(NamedTuple):
     """BVH + camera, ready to render (cf. futhark ``prepared_scene``)."""
     spheres: Spheres      # original order (shading gathers by original index)
-    bvh: Bvh
+    bvh: Bvh | None       # None when built with with_bvh=False (pallas-only)
     cam: Camera
     pallas: object = None  # PallasScene when prepared with with_pallas=True
 
@@ -52,6 +52,9 @@ def prepare_scene(scene: Scene, height: int, width: int,
 
 def _oracle(prepared: PreparedScene, mode: str):
     if mode == "bvh":
+        if prepared.bvh is None:
+            raise ValueError("prepare_scene(..., with_bvh=True) required "
+                             "for mode='bvh'")
         return functools.partial(closest_hit_bvh, prepared.bvh)
     if mode in ("brute", "brute_matmul"):
         formulation = "precise" if mode == "brute" else "matmul"

@@ -350,13 +350,6 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         # Phase A: min/max slab culling over cluster blocks, masked by the
         # live rays; per-cluster any-live-hit flags land in VMEM scratch
         # (cluster, 1) for the scalar visit-skip reads.
-        if cull and CB > 4 and CB * CR > C:
-            # dynamic sweeps run full [block, group] ranges: padding
-            # clusters (empty boxes test always-HIT under min/max slabs)
-            # must carry zero flags so their visit conds never fire
-            pad_rows = CB * CR - C
-            hits_ref[pl.ds(C, pad_rows), :] = jnp.zeros(
-                (pad_rows, 1), jnp.float32)
         for cb in ([] if not cull else range(CB)):
             def cull_block(cb=cb):
                 blk = aabb_ref[pl.ds(cb, 1), :, :].reshape(CR, 8)
@@ -369,6 +362,17 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                     cull_block(cb)
             else:
                 cull_block(cb)
+
+        if cull and CB > 4 and CB * CR > C:
+            # dynamic sweeps run full [block, group] ranges: padding
+            # clusters (empty boxes test always-HIT under min/max slabs)
+            # must carry zero flags so their visit conds never fire.
+            # This MUST run after the cull loop — the last block's cull
+            # writes always-hit counts over the padding rows, and a visit
+            # with c >= C would DMA past the sphere tables in hbm mode.
+            pad_rows = CB * CR - C
+            hits_ref[pl.ds(C, pad_rows), :] = jnp.zeros(
+                (pad_rows, 1), jnp.float32)
 
         # Phase B: visit flagged clusters; dense quadratic -> packed
         # (t | lane) key -> one min-reduce -> one-hot MXU payload.
@@ -829,7 +833,8 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
                            phase1_depth: int = 6, tile: int = DEFAULT_TILE,
                            far_root: bool = True, interpret: bool = False,
                            cull: bool | None = None,
-                           block: tuple | None = None):
+                           block: tuple | None = None,
+                           row0=0.0, total_height: int | None = None):
     """Two-phase render with survivor compaction between phases.
 
     A tile's bounce loop runs until its DEEPEST ray dies; with measured
@@ -849,6 +854,10 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     """
     if cull is None:
         cull = scene.n_clusters > 1
+    th = height if total_height is None else total_height
+    row0 = jnp.asarray(row0, jnp.float32).reshape(1)
+    mid = jnp.concatenate([row0, jnp.zeros((3,), jnp.float32)])
+    hw_params = jnp.asarray([width, th, 1.0 / width, 1.0 / th], jnp.float32)
     if block is not None:
         bh, bw = block
         assert bh * bw == tile, (block, tile)
@@ -858,9 +867,7 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
         Rp = num_tiles * tile
         params = jnp.concatenate([
             cam.llc, cam.horizontal, cam.vertical, cam.origin,
-            jnp.zeros((4,), jnp.float32),
-            jnp.asarray([width, height, 1.0 / width, 1.0 / height],
-                        jnp.float32),
+            mid, hw_params,
             jnp.asarray([wp // bw, bw, bh, 1.0 / (wp // bw)],
                         jnp.float32),
         ]).astype(jnp.float32)
@@ -870,9 +877,7 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
         Rp = num_tiles * tile
         params = jnp.concatenate([
             cam.llc, cam.horizontal, cam.vertical, cam.origin,
-            jnp.zeros((4,), jnp.float32),
-            jnp.asarray([width, height, 1.0 / width, 1.0 / height],
-                        jnp.float32),
+            mid, hw_params,
             jnp.zeros((4,), jnp.float32),
         ]).astype(jnp.float32)
 

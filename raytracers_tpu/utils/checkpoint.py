@@ -68,25 +68,29 @@ def load_spheres(path: str) -> tuple[Spheres, int, dict]:
     return spheres, int(z["step"]), extra
 
 
-def save_train_state(path: str, state, step: int = 0) -> None:
+def save_train_state(path: str, state, step: int = 0,
+                     loss: float = float("nan")) -> None:
     """Checkpoint a full training state pytree (e.g. grad.inverse
     InverseState = spheres + optax opt_state) by flattened leaves."""
     leaves = jax.tree.leaves(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     arrays["step"] = np.asarray(step)
+    arrays["loss"] = np.asarray(loss, np.float64)
     np.savez_compressed(_npz_path(path), **arrays)
 
 
-def load_train_state(path: str, like) -> tuple[object, int]:
+def load_train_state(path: str, like) -> tuple[object, int, float]:
     """Restore a training state saved by ``save_train_state``.
 
     ``like`` is a template pytree with the target structure (e.g. a freshly
-    initialised InverseState); leaf order must match the saved one."""
+    initialised InverseState); leaf order must match the saved one.
+    Returns (state, step, loss-at-save — nan for old checkpoints)."""
     z = np.load(_npz_path(path))
     treedef = jax.tree.structure(like)
     n = treedef.num_leaves
     leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
-    return jax.tree.unflatten(treedef, leaves), int(z["step"])
+    loss = float(z["loss"]) if "loss" in z.files else float("nan")
+    return jax.tree.unflatten(treedef, leaves), int(z["step"]), loss
 
 
 def latest_checkpoint(directory: str, prefix: str = "ckpt_") -> str | None:

@@ -163,3 +163,21 @@ def test_center_recovery_soft_gradients():
     d1 = float(jnp.abs(fitted.center - true.center).mean())
     assert d1 < 0.35 * d0, (d0, d1)
     assert losses[-1] < 0.3 * losses[0]
+
+
+def test_sharded_pallas_deep_twophase_bitexact():
+    """Deep sharded renders route through per-slab survivor compaction
+    (same policy as the unsharded API) and stay bit-identical to it."""
+    from raytracers_tpu.parallel.mesh import render_pallas_sharded
+    from raytracers_tpu.render.pallas_kernel import build_pallas_scene
+    sc = scenes.rgbbox()
+    ps = build_pallas_scene(sc.spheres)
+    cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
+    prep = prepare_scene(sc, 64, 64, leaf_size=8, with_pallas=True)
+    single = np.asarray(render(prep, 64, 64, mode="pallas", max_depth=50,
+                               interpret=True))
+    sharded = np.asarray(render_pallas_sharded(ps, cam, 64, 64,
+                                               mesh=ray_mesh(),
+                                               max_depth=50,
+                                               interpret=True))
+    np.testing.assert_array_equal(single, sharded)
