@@ -143,7 +143,7 @@ def main():
             from raytracers_tpu.grad.pallas_diff import make_render_pallas_diff
             cam = mk_camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov,
                             W / H)
-            f = make_render_pallas_diff(W, H, max_depth=50, bwd_chunks=2)
+            f = make_render_pallas_diff(W, H, max_depth=50, bwd_chunks=8)
 
             def loss(sph, cam):
                 img = f(sph, cam)

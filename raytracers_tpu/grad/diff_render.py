@@ -88,27 +88,93 @@ def _gather_sphere_params(spheres: Spheres, safe_idx, mode: str):
     if mode == "take":
         return (spheres.center[safe_idx], spheres.radius[safe_idx],
                 spheres.color[safe_idx])
-    n = spheres.center.shape[0]
-    oh = (safe_idx[:, None] == jnp.arange(n, dtype=safe_idx.dtype)[None, :]
-          ).astype(jnp.float32)                               # (R, N)
-    tab = jnp.concatenate([spheres.center, spheres.radius[:, None],
-                           spheres.color], axis=1)            # (N, 7)
-    g = jnp.dot(oh, tab, precision=jax.lax.Precision.HIGHEST)
+    g = _onehot_gather(
+        jnp.concatenate([spheres.center, spheres.radius[:, None],
+                         spheres.color], axis=1),             # (N, 7)
+        safe_idx)
     return g[:, 0:3], g[:, 3], g[:, 4:7]
 
 
+def _split3(x):
+    """Exact 3-term bf16 decomposition of an f32 array: x = hi + mid + lo
+    bit-for-bit (3x8 mantissa bits cover f32's 24; each residual is
+    exactly representable, and the f32 re-sum reconstructs x because x
+    itself is an f32)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _onehot_gather(tab, safe_idx):
+    """Exact one-hot row gather ``tab[safe_idx]`` as a single bf16 MXU dot
+    each way — (R, N) one-hots are the replay's dominant traffic at the
+    north-star config (1e6 x 400 per step), and Precision.HIGHEST would
+    split that operand into 3 f32->bf16 passes per dot.  Here the one-hot
+    is built in bf16 directly (0/1 exact) and the SMALL side carries the
+    3-term split (_split3), concatenated so one (R,N)@(N,21) dot reads the
+    big operand once.  Forward values are exact (single nonzero term per
+    output, f32 accumulation); the custom VJP computes the table cotangent
+    the same way (split the (R,7) cotangent, one (N,R)@(R,21)-shaped dot),
+    which is f32-accumulation-exact like HIGHEST up to ray-sum ordering.
+    """
+    return _onehot_gather_p(tab, safe_idx)
+
+
+def _oh_of(idx, n):
+    return (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]
+            ).astype(jnp.bfloat16)                            # (R, N)
+
+
+@jax.custom_vjp
+def _onehot_gather_p(tab, safe_idx):
+    g3 = jnp.dot(_oh_of(safe_idx, tab.shape[0]),
+                 jnp.concatenate(_split3(tab), axis=1),
+                 preferred_element_type=jnp.float32)          # (R, 21)
+    return g3[:, 0:7] + g3[:, 7:14] + g3[:, 14:21]
+
+
+def _onehot_gather_fwd(tab, safe_idx):
+    return _onehot_gather_p(tab, safe_idx), (safe_idx, tab.shape[0])
+
+
+def _onehot_gather_bwd(res, gcot):
+    import numpy as np
+    safe_idx, n = res
+    c3 = jax.lax.dot_general(
+        _oh_of(safe_idx, n), jnp.concatenate(_split3(gcot), axis=1),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # (N, 21)
+    idx_cot = np.zeros(safe_idx.shape, dtype=jax.dtypes.float0)
+    return (c3[:, 0:7] + c3[:, 7:14] + c3[:, 14:21], idx_cot)
+
+
+_onehot_gather_p.defvjp(_onehot_gather_fwd, _onehot_gather_bwd)
+
+
 def replay_paths(spheres: Spheres, origins, dirs, idxs, events,
-                 gather: str = "take", remat: bool = False):
+                 gather: str = "take", remat: bool = False,
+                 skip_dead: bool = False, skip_group: int = 8):
     """Phase 2: differentiable shading replay -> colours (R, 3).
 
     ``remat=True`` rematerialises each step in the backward pass instead
     of storing residuals — essential for gather="onehot" at scale, where
     the (R, N) one-hot would otherwise be kept alive for all D steps
-    (50 x 1e6 x 400 f32 = 51 GB at the north-star config)."""
+    (50 x 1e6 x 400 f32 = 51 GB at the north-star config).
 
-    def step(carry, rec):
+    ``skip_dead=True`` scans over GROUPS of ``skip_group`` consecutive
+    steps, each wrapped in one ``lax.cond`` on "any ray in this batch
+    alive anywhere in the group": groups where the whole batch is
+    EV_INACTIVE cost one predicate check instead of skip_group shading
+    steps.  A dead step is the identity on the carry (every ``where``
+    mask is False), so this is exact.  The cond is per-GROUP because
+    XLA's per-step cond overhead was measured to exceed the skipped work
+    (docs/PERF_NOTES.md); it only pays when the batch is
+    depth-homogeneous — see pallas_diff's sort-by-depth chunking."""
+
+    def step_inner(carry, idx, event):
         o, d, light, result = carry
-        idx, event = rec
         safe = jnp.maximum(idx, 0)
         c, r, col = _gather_sphere_params(spheres, safe, gather)
         # two-phase re-intersection, differentiable in (c, r)
@@ -128,10 +194,49 @@ def replay_paths(spheres: Spheres, origins, dirs, idxs, events,
         light = jnp.where(bounce[..., None], light * col, light)
         o = jnp.where(bounce[..., None], p, o)
         d = jnp.where(bounce[..., None], refl, d)
-        return (o, d, light, result), None
+        return (o, d, light, result)
 
     light0 = jnp.ones_like(origins)
     result0 = jnp.zeros_like(origins)
+
+    if skip_dead:
+        D = idxs.shape[0]
+        G = min(skip_group, D)
+        pad = (-D) % G
+        if pad:
+            idxs = jnp.concatenate(
+                [idxs, jnp.zeros((pad,) + idxs.shape[1:], idxs.dtype)])
+            events = jnp.concatenate(
+                [events, jnp.full((pad,) + events.shape[1:], EV_INACTIVE,
+                                  events.dtype)])
+        ng = (D + pad) // G
+        idxs_g = idxs.reshape((ng, G) + idxs.shape[1:])
+        events_g = events.reshape((ng, G) + events.shape[1:])
+        alive_g = jnp.any(
+            events_g != EV_INACTIVE,
+            axis=tuple(range(1, events_g.ndim)))              # (ng,)
+
+        def group(carry, rec):
+            idx_g, ev_g, any_alive = rec
+
+            def live(c):
+                for k in range(G):
+                    c = step_inner(c, idx_g[k], ev_g[k])
+                return c
+
+            carry = jax.lax.cond(any_alive, live, lambda c: c, carry)
+            return carry, None
+
+        step_fn = jax.checkpoint(group) if remat else group
+        (o, d, light, result), _ = jax.lax.scan(
+            step_fn, (origins, dirs, light0, result0),
+            (idxs_g, events_g, alive_g))
+        return result
+
+    def step(carry, rec):
+        idx, event = rec
+        return step_inner(carry, idx, event), None
+
     step_fn = jax.checkpoint(step) if remat else step
     (o, d, light, result), _ = jax.lax.scan(
         step_fn, (origins, dirs, light0, result0), (idxs, events))

@@ -51,14 +51,28 @@ def make_render_pallas_diff(width: int, height: int,
                             max_depth: int = MAX_DEPTH, tile: int = 512,
                             interpret: bool = False,
                             bwd_chunks: int = 1, gather: str = "onehot",
-                            remat: bool = True):
+                            remat: bool = True,
+                            sort_by_depth: bool = False,
+                            skip_dead: bool | None = None):
     """Build a differentiable ``f(spheres, cam) -> colours (h, w, 3)``
     whose forward pass is the Pallas megakernel.
 
     ``bwd_chunks`` splits the backward replay into ray chunks to bound
     peak memory at large resolutions (the replay scan keeps per-step
     residuals alive).
-    """
+
+    ``sort_by_depth`` compacts the backward replay the same way the
+    forward renderer compacts survivors: rays are permuted by descending
+    path depth before chunking (one fused key-sort + one row-gather of
+    the stacked per-ray state; cotangents are unsorted with the inverse
+    permutation), so each chunk is depth-homogeneous and its replay scan
+    can skip all-dead step groups via ``lax.cond`` (``skip_dead``).
+    Default OFF: measured on v5e, the sort itself is cheap (~30 ms at
+    1e6 rays) but XLA's cond overhead exceeds the skipped work at every
+    granularity tried (per-step +520 ms, per-8-step group +190 ms vs
+    the work saved — see docs/PERF_NOTES.md), so the naive dense replay
+    wins.  Kept as a measured experiment; only effective with
+    ``bwd_chunks > 1``."""
 
     @jax.custom_vjp
     def render_diff(spheres: Spheres, cam: Camera):
@@ -85,15 +99,37 @@ def make_render_pallas_diff(width: int, height: int,
         spheres, cam, rec_orig = res
         o, d = primary_rays(cam, width, height)
         R = o.shape[0]
-        idxs, events = _rec_to_path(rec_orig)
         gflat = g.reshape(-1, 3)
+
+        perm = None
+        if sort_by_depth and bwd_chunks > 1:
+            # permute rays by descending path depth (depth = count of
+            # non-INACTIVE steps).  Unique keys ((D-depth)*R + id) make
+            # the sort a stable partition; ONE row-gather of the stacked
+            # (R, 9+D) state moves everything (record columns ride the
+            # gather bitcast to f32 — a pure permutation).
+            depth = jnp.sum((rec_orig != -2).astype(jnp.int32), axis=0)
+            key = (max_depth - depth) * R + jnp.arange(R, dtype=jnp.int32)
+            (key_s,) = jax.lax.sort([key], dimension=0, num_keys=1)
+            perm = key_s % R
+            stacked = jnp.concatenate(
+                [o, d, gflat,
+                 jax.lax.bitcast_convert_type(
+                     rec_orig.T, jnp.float32)], axis=1)       # (R, 9+D)
+            rows = jnp.take(stacked, perm, axis=0)
+            o, d, gflat = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+            rec_orig = jax.lax.bitcast_convert_type(
+                rows[:, 9:], jnp.int32).T                     # (D, R)
+        idxs, events = _rec_to_path(rec_orig)
+        skip = (perm is not None) if skip_dead is None else skip_dead
 
         def chunk_grads(args):
             o_c, d_c, idx_c, ev_c, g_c = args
             _, vjp = jax.vjp(
                 lambda sph, oo, dd: replay_paths(sph, oo, dd, idx_c,
                                                  ev_c, gather=gather,
-                                                 remat=remat),
+                                                 remat=remat,
+                                                 skip_dead=skip),
                 spheres, o_c, d_c)
             return vjp(g_c)
 
@@ -127,6 +163,14 @@ def make_render_pallas_diff(width: int, height: int,
             gs = jax.tree.map(lambda x: jnp.sum(x, axis=0), gs_all)
             go = go_all.reshape(-1, 3)[:R]
             gd = gd_all.reshape(-1, 3)[:R]
+
+        if perm is not None:
+            # unsort the ray cotangents (sphere grads are ray-sums and
+            # need no unsorting); inverse perm via one int scatter
+            inv = jnp.zeros((R,), jnp.int32).at[perm].set(
+                jnp.arange(R, dtype=jnp.int32))
+            god = jnp.take(jnp.concatenate([go, gd], axis=1), inv, axis=0)
+            go, gd = god[:, 0:3], god[:, 3:6]
 
         # pull the ray cotangents back to the camera
         _, vjp_rays = jax.vjp(lambda c: primary_rays(c, width, height), cam)

@@ -109,6 +109,10 @@ def render_pallas_sharded(scene, cam, height: int, width: int,
 
     rep_scene = jax.tree.map(lambda _: P(), scene)
     rep_cam = jax.tree.map(lambda _: P(), cam)
+    # check_vma=False here (unlike the tracer path above): pallas_call
+    # does not propagate varying-manual-axes metadata, so the checker
+    # cannot see that the kernel output is 'rays'-varying via its offs
+    # input; correctness is pinned by test_sharding's bit-identity test.
     fn = jax.shard_map(shard_fn, mesh=mesh,
                        in_specs=(P("rays"), rep_scene, rep_cam),
                        out_specs=P("rays"), check_vma=False)
