@@ -53,7 +53,8 @@ def make_render_pallas_diff(width: int, height: int,
                             bwd_chunks: int = 1, gather: str = "onehot",
                             remat: bool = True,
                             sort_by_depth: bool = False,
-                            skip_dead: bool | None = None):
+                            skip_dead: bool | None = None,
+                            backward: str = "pallas"):
     """Build a differentiable ``f(spheres, cam) -> colours (h, w, 3)``
     whose forward pass is the Pallas megakernel.
 
@@ -72,7 +73,18 @@ def make_render_pallas_diff(width: int, height: int,
     granularity tried (per-step +520 ms, per-8-step group +190 ms vs
     the work saved — see docs/PERF_NOTES.md), so the naive dense replay
     wins.  Kept as a measured experiment; only effective with
-    ``bwd_chunks > 1``."""
+    ``bwd_chunks > 1``.
+
+    ``backward`` selects the gradient engine: "pallas" (default) runs
+    the fused TPU backward-replay kernel (grad/pallas_replay_bwd.py —
+    the forward additionally records per-bounce winner fields, the
+    backward is one Pallas program per ray tile plus a batched bf16
+    one-hot segment-sum); "xla" is the whole-batch scan replay
+    (diff_render.replay_paths).  Gradients agree to f32 accumulation
+    order (tests/test_pallas_diff.py)."""
+    if backward == "pallas":
+        return _make_render_pallas_diff_kernel(width, height, max_depth,
+                                               tile, interpret)
 
     @jax.custom_vjp
     def render_diff(spheres: Spheres, cam: Camera):
@@ -173,6 +185,93 @@ def make_render_pallas_diff(width: int, height: int,
             go, gd = god[:, 0:3], god[:, 3:6]
 
         # pull the ray cotangents back to the camera
+        _, vjp_rays = jax.vjp(lambda c: primary_rays(c, width, height), cam)
+        (gcam,) = vjp_rays((go, gd))
+        return gs, gcam
+
+    render_diff.defvjp(fwd, bwd)
+    return render_diff
+
+
+def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
+                                    interpret):
+    """backward="pallas": fused TPU backward replay.
+
+    Forward: megakernel record_pay mode (colours + per-bounce winner
+    slot AND winner sphere fields).  Backward: the hand-reversed Pallas
+    kernel (pallas_replay_bwd) emits per-bounce sphere cotangents and
+    per-ray (origin, direction) cotangents; slot-space cotangents are
+    segment-summed onto the sphere table with the exact bf16 one-hot
+    dots (diff_render._split3) batched over depth, then scattered from
+    Morton-slot order back to the caller's sphere order.
+    """
+    from .diff_render import _oh_of, _split3
+    from .pallas_replay_bwd import replay_bwd_pallas
+
+    def _params(cam):
+        return jnp.concatenate([
+            cam.llc, cam.horizontal, cam.vertical, cam.origin,
+            jnp.zeros((4,), jnp.float32),
+            jnp.asarray([width, height, 1.0 / width, 1.0 / height],
+                        jnp.float32),
+            jnp.zeros((4,), jnp.float32),
+        ]).astype(jnp.float32)
+
+    @jax.custom_vjp
+    def render_diff(spheres: Spheres, cam: Camera):
+        scene = build_pallas_scene(spheres)
+        colours, _ = render_pallas_record(
+            scene, cam, width, height, max_depth=max_depth, tile=tile,
+            interpret=interpret)
+        return colours
+
+    def fwd(spheres, cam):
+        scene = build_pallas_scene(spheres)
+        colours, _, rec_raw, pay = render_pallas_record(
+            scene, cam, width, height, max_depth=max_depth, tile=tile,
+            interpret=interpret, with_pay=True)
+        return colours, (spheres, cam, rec_raw, pay, scene.order)
+
+    def bwd(res, g):
+        spheres, cam, rec_raw, pay, order = res
+        n = spheres.center.shape[0]
+        nt = rec_raw.shape[0]
+        R = width * height
+        Rp = nt * tile
+        gflat = jnp.pad(g.reshape(-1, 3), ((0, Rp - R), (0, 0)))
+        gcot_rows = jnp.concatenate([
+            gflat.T.reshape(3, nt, tile).transpose(1, 0, 2),
+            jnp.zeros((nt, 5, tile), jnp.float32)], axis=1)   # (nt, 8, T)
+        cotsph, cotray = replay_bwd_pallas(
+            _params(cam), rec_raw, pay, gcot_rows, tile=tile,
+            max_depth=max_depth, interpret=interpret)
+
+        # batched slot-space segment-sum: one exact bf16 one-hot dot per
+        # depth (padding rays carry zero cotangent; non-bounce steps were
+        # written as zeros by the kernel, so clipped ids are harmless)
+        S = order.size
+        ids = rec_raw.transpose(1, 0, 2).reshape(max_depth, Rp)
+        cots = cotsph.transpose(1, 2, 0, 3).reshape(max_depth, 8, Rp)
+
+        def body(tab, xs):
+            ids_d, cot_d = xs
+            oh = _oh_of(jnp.clip(ids_d, 0, None), S)          # (Rp, S)
+            c3 = jax.lax.dot_general(
+                oh, jnp.concatenate(_split3(cot_d[:7].T), axis=1),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (S, 21)
+            return tab + (c3[:, 0:7] + c3[:, 7:14] + c3[:, 14:21]), None
+
+        tab_slot, _ = jax.lax.scan(
+            body, jnp.zeros((S, 7), jnp.float32), (ids, cots))
+        ordv = order.reshape(-1)
+        tgt = jnp.where(ordv >= 0, ordv, n)                   # pad -> dropped
+        tab = jnp.zeros((n + 1, 7), jnp.float32).at[tgt].add(tab_slot)[:n]
+        gs = Spheres(center=tab[:, 0:3], radius=tab[:, 3],
+                     color=tab[:, 4:7])
+
+        go = cotray[:, 0:3, :].transpose(0, 2, 1).reshape(-1, 3)[:R]
+        gd = cotray[:, 3:6, :].transpose(0, 2, 1).reshape(-1, 3)[:R]
         _, vjp_rays = jax.vjp(lambda c: primary_rays(c, width, height), cam)
         (gcam,) = vjp_rays((go, gd))
         return gs, gcam

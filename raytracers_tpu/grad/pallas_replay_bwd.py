@@ -1,0 +1,401 @@
+"""Pallas backward-replay kernel: the TPU-native gradient path.
+
+The XLA replay (diff_render.replay_paths) runs the 50-step shading chain
+as a whole-batch scan: each step is ~a dozen unfused HBM-bound kernels
+plus an (R, N) one-hot gather, and `lax.cond` dead-step skipping was
+measured to COST rather than save (docs/PERF_NOTES.md).  This kernel
+instead fuses the entire per-ray backward chain into one Pallas program
+per ray tile, mirroring the forward megakernel's layout discipline
+((1, T) state rows, rays on lanes):
+
+  * the forward megakernel (record_pay mode) emits, per bounce, the
+    winner sphere's fields (pay, (D, 8, T) per tile) and the event
+    record (slot / -1 miss / -2 inactive / -3 absorb) — so the backward
+    needs NO gather at all;
+  * pass 1 recomputes the forward chain (o, d, light per bounce) into
+    VMEM scratch — attenuation/positions are cheap to recompute and
+    far cheaper than storing them from the forward render;
+  * pass 2 walks bounces deepest-first carrying the ray cotangents
+    (cot_o, cot_d, cot_light), hand-reversing the shading chain
+    (quadratic -> hit point -> normal -> reflection -> attenuation,
+    futhark/ray.fut:76-117 semantics), seeding at the terminal miss
+    step from the image cotangent through the sky gradient
+    (ray.fut:141-148), and emitting per-bounce sphere cotangents
+    (d/dcenter, d/dradius, d/dcolour) as (D, 8, T) outputs.
+
+The recompute mirrors the MEGAKERNEL's arithmetic bit-for-bit — same
+reciprocal-multiply roots, same `lax.rsqrt` direction normalisation,
+same key-floored widened window `floor_key(t_search) + 1` and
+unconditional far-root fallback (render/pallas_kernel.py bounce_body) —
+NOT geometry.sphere_hit_t's formulas.  That guarantees the replayed
+chain IS the path the forward actually took (``emit_fwd=True`` exposes
+the replayed colours; tests assert bit-equality with the forward
+image), so the frozen-discrete gradient is evaluated on the true
+primal path.  f32 mirror cascades are chaotic (a 1-ulp primal
+difference is ~1e-2 of gradient by depth 3, ~100% by depth 6 —
+measured), so replaying a *different* ulp-level formula family would
+inject noise of that size into deep-bounce gradients.
+
+Per-bounce sphere cotangents are reduced to the sphere table OUTSIDE the
+kernel with the same exact bf16 one-hot dots as the XLA replay
+(diff_render._split3 machinery) — MXU segment-sum, batched over depth.
+
+Gradient semantics are identical to replay_paths: discrete path choices
+(which sphere, which root, scatter accept) are treated as constants, so
+this is the exact gradient away from visibility discontinuities.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry import SCENE_EPSILON, T_MAX, T_MIN
+from ..render.pallas_kernel import _KEY_MASK
+
+_BIG = float(T_MAX)            # python float: a jnp constant would be captured
+_SKY_K = (0.5, 0.7, 1.0)       # bg gradient endpoint (ray.fut:141-148)
+
+
+def _quad(ox, oy, oz, dx, dy, dz, cx, cy, cz, rad):
+    """Forward quadratic + two-phase root selection, BIT-IDENTICAL to the
+    megakernel's visit + bounce_body re-intersection (far_root=True):
+    search t with far-root fallback over (eps, BIG), floor it to the
+    packed-key precision (the forward's best_t had its 7 lane bits
+    cleared), widen by +1 (ray.fut:84-85), then near-else-far.  Returns
+    (t2, ok0 — near-root-selected mask — and intermediates)."""
+    ocx = ox - cx
+    ocy = oy - cy
+    ocz = oz - cz
+    a = dx * dx + dy * dy + dz * dz
+    b = ocx * dx + ocy * dy + ocz * dz
+    c2 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+    disc = b * b - a * c2
+    pos = disc > 0.0
+    sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+    inv_a = 1.0 / a
+    t0 = (-b - sq) * inv_a
+    t1 = (-b + sq) * inv_a
+    # search phase (pallas_kernel.py visit): far-root fallback, no upper
+    # bound, miss -> BIG.  SELECTOR ONLY — window bounds carry no
+    # gradient (they only pick the branch), so t_search has no cotangent.
+    eps = jnp.float32(SCENE_EPSILON)
+    use0 = t0 > eps
+    ts = jnp.where(use0, t0, t1)
+    tv = jnp.where(pos & (ts > eps), ts, _BIG)
+    # the forward's best_t came from the packed (t | lane) key with the
+    # 7 lane bits cleared — reproduce the floor exactly
+    best_t = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(tv, jnp.int32) & jnp.int32(_KEY_MASK),
+        jnp.float32)
+    # widened re-intersection window (T_MIN, best_t + 1)  (ray.fut:84-85)
+    w_hi = best_t + 1.0
+    ok0 = (t0 < w_hi) & (t0 > jnp.float32(T_MIN))
+    t2 = jnp.where(ok0, t0, t1)
+    return (t2, ok0, ocx, ocy, ocz, a, b, c2, sq, inv_a)
+
+
+def _replay_bwd_kernel(params_ref, rec_ref, pay_ref, gcot_ref, *refs,
+                       tile: int, max_depth: int, emit_fwd: bool):
+    if emit_fwd:
+        cotsph_ref, cotray_ref, fwd_ref, st_ref = refs
+    else:
+        cotsph_ref, cotray_ref, st_ref = refs
+    T = tile
+    D = max_depth
+    width = params_ref[16]
+    height = params_ref[17]
+    inv_w = params_ref[18]
+    inv_h = params_ref[19]
+
+    # ---- primary rays (scanline tiles, same math as the megakernel) ----
+    pid = pl.program_id(0)
+    lid = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(jnp.float32)
+    ids = pid * T + lid
+    j = jnp.floor(ids * inv_w)
+    i = ids - j * width
+    ov = (i >= width).astype(jnp.float32)
+    un = (i < 0.0).astype(jnp.float32)
+    i = i - ov * width + un * width
+    j = j + ov - un
+    u = i * inv_w
+    v = (height - j) * inv_h
+    dx0 = params_ref[0] + u * params_ref[3] + v * params_ref[6] - params_ref[9]
+    dy0 = params_ref[1] + u * params_ref[4] + v * params_ref[7] - params_ref[10]
+    dz0 = params_ref[2] + u * params_ref[5] + v * params_ref[8] - params_ref[11]
+    ox0 = jnp.full((1, T), params_ref[9])
+    oy0 = jnp.full((1, T), params_ref[10])
+    oz0 = jnp.full((1, T), params_ref[11])
+    one = jnp.ones((1, T), jnp.float32)
+
+    def rec_at(k):
+        return rec_ref[0, pl.ds(k, 1), :]                     # (1, T) int32
+
+    def pay_at(k, row):
+        return pay_ref[0, pl.ds(k, 1), pl.ds(row, 1), :].reshape(1, T)
+
+    def st_store(k, row, val):
+        st_ref[pl.ds(k * 9 + row, 1), :] = val
+
+    def st_at(k, row):
+        return st_ref[pl.ds(k * 9 + row, 1), :]
+
+    # ---- pass 1: forward chain, storing (o, d, light) per bounce ----
+    def fwd_step(k, carry):
+        ox, oy, oz, dx, dy, dz, lr, lg, lb, rr, rg, rb = carry
+        for row, val in enumerate((ox, oy, oz, dx, dy, dz, lr, lg, lb)):
+            st_store(k, row, val)
+        rec = rec_at(k)
+        bounce = rec >= 0
+        cx = pay_at(k, 0)
+        cy = pay_at(k, 1)
+        cz = pay_at(k, 2)
+        rad = pay_at(k, 3)
+        cr = pay_at(k, 4)
+        cg = pay_at(k, 5)
+        cb = pay_at(k, 6)
+        (t2, _, _, _, _, a, _, _, _, _) = _quad(
+            ox, oy, oz, dx, dy, dz, cx, cy, cz, rad)
+        px = ox + t2 * dx
+        py = oy + t2 * dy
+        pz = oz + t2 * dz
+        inv_r = 1.0 / rad
+        nx = (px - cx) * inv_r
+        ny = (py - cy) * inv_r
+        nz = (pz - cz) * inv_r
+        inv_len = jax.lax.rsqrt(a)        # the megakernel's inv_dn
+        ux = dx * inv_len
+        uy = dy * inv_len
+        uz = dz * inv_len
+        q = ux * nx + uy * ny + uz * nz
+        rx = ux - 2.0 * q * nx
+        ry = uy - 2.0 * q * ny
+        rz = uz - 2.0 * q * nz
+        if emit_fwd:
+            miss = rec == -1
+            tsky = 0.5 * (uy + 1.0)
+            rr = jnp.where(miss, lr * ((1.0 - tsky) + tsky * _SKY_K[0]), rr)
+            rg = jnp.where(miss, lg * ((1.0 - tsky) + tsky * _SKY_K[1]), rg)
+            rb = jnp.where(miss, lb * ((1.0 - tsky) + tsky * _SKY_K[2]), rb)
+        ox = jnp.where(bounce, px, ox)
+        oy = jnp.where(bounce, py, oy)
+        oz = jnp.where(bounce, pz, oz)
+        dx = jnp.where(bounce, rx, dx)
+        dy = jnp.where(bounce, ry, dy)
+        dz = jnp.where(bounce, rz, dz)
+        lr = jnp.where(bounce, lr * cr, lr)
+        lg = jnp.where(bounce, lg * cg, lg)
+        lb = jnp.where(bounce, lb * cb, lb)
+        return (ox, oy, oz, dx, dy, dz, lr, lg, lb, rr, rg, rb)
+
+    zero = jnp.zeros((1, T), jnp.float32)
+    fin = jax.lax.fori_loop(
+        0, D, fwd_step,
+        (ox0, oy0, oz0, dx0, dy0, dz0, one, one, one, zero, zero, zero))
+    if emit_fwd:
+        for row, val in enumerate((fin[9], fin[10], fin[11])):
+            fwd_ref[0, pl.ds(row, 1), :] = val
+        for row in range(3, 8):
+            fwd_ref[0, pl.ds(row, 1), :] = zero
+
+    gr = gcot_ref[0, pl.ds(0, 1), :]
+    gg = gcot_ref[0, pl.ds(1, 1), :]
+    gb = gcot_ref[0, pl.ds(2, 1), :]
+
+    # ---- pass 2: deepest-first cotangent sweep ----
+    def bwd_step(jj, carry):
+        k = (D - 1) - jj
+        (cox, coy, coz, cdx, cdy, cdz, clr, clg, clb) = carry
+        rec = rec_at(k)
+        bounce = rec >= 0
+        miss = rec == -1
+        absorb = rec == -3
+        ox = st_at(k, 0)
+        oy = st_at(k, 1)
+        oz = st_at(k, 2)
+        dx = st_at(k, 3)
+        dy = st_at(k, 4)
+        dz = st_at(k, 5)
+        lr = st_at(k, 6)
+        lg = st_at(k, 7)
+        lb = st_at(k, 8)
+        cx = pay_at(k, 0)
+        cy = pay_at(k, 1)
+        cz = pay_at(k, 2)
+        rad = pay_at(k, 3)
+        cr = pay_at(k, 4)
+        cg = pay_at(k, 5)
+        cb_ = pay_at(k, 6)
+
+        # ---------- bounce chain (candidates; masked at the end) ------
+        (t2, ok0, ocx, ocy, ocz, a, b, c2, sq,
+         inv_a) = _quad(ox, oy, oz, dx, dy, dz, cx, cy, cz, rad)
+        px = ox + t2 * dx
+        py = oy + t2 * dy
+        pz = oz + t2 * dz
+        inv_r = 1.0 / rad
+        nx = (px - cx) * inv_r
+        ny = (py - cy) * inv_r
+        nz = (pz - cz) * inv_r
+        inv_len = jax.lax.rsqrt(a)
+        ux = dx * inv_len
+        uy = dy * inv_len
+        uz = dz * inv_len
+        q = ux * nx + uy * ny + uz * nz
+
+        # light' = light * col
+        ccolr = lr * clr
+        ccolg = lg * clg
+        ccolb = lb * clb
+        nlr = cr * clr
+        nlg = cg * clg
+        nlb = cb_ * clb
+        # d' = refl(u, n) = u - 2 q n ; o' = p
+        cpx = cox
+        cpy = coy
+        cpz = coz
+        crx = cdx
+        cry = cdy
+        crz = cdz
+        ndotcr = nx * crx + ny * cry + nz * crz
+        cux = crx - 2.0 * nx * ndotcr
+        cuy = cry - 2.0 * ny * ndotcr
+        cuz = crz - 2.0 * nz * ndotcr
+        cnx = -2.0 * (ux * ndotcr + q * crx)
+        cny = -2.0 * (uy * ndotcr + q * cry)
+        cnz = -2.0 * (uz * ndotcr + q * crz)
+        # n = (p - c) / r
+        cpx = cpx + cnx * inv_r
+        cpy = cpy + cny * inv_r
+        cpz = cpz + cnz * inv_r
+        ccx = -cnx * inv_r
+        ccy = -cny * inv_r
+        ccz = -cnz * inv_r
+        crad = -(nx * cnx + ny * cny + nz * cnz) * inv_r
+        # u = d / |d|
+        udotcu = ux * cux + uy * cuy + uz * cuz
+        ndx = (cux - ux * udotcu) * inv_len
+        ndy = (cuy - uy * udotcu) * inv_len
+        ndz = (cuz - uz * udotcu) * inv_len
+        # p = o + t2 d
+        nox = cpx
+        noy = cpy
+        noz = cpz
+        ndx = ndx + t2 * cpx
+        ndy = ndy + t2 * cpy
+        ndz = ndz + t2 * cpz
+        ct2 = dx * cpx + dy * cpy + dz * cpz
+        # t2 = (-b + s*sq) * inv_a   (s = -1 near root, +1 far root; at a
+        # recorded bounce t2 is always one of the two real roots)
+        s = jnp.where(ok0, -1.0, 1.0)
+        cb2 = -inv_a * ct2
+        csq = s * inv_a * ct2
+        ca = -t2 * inv_a * ct2
+        cdisc = csq * (0.5 / sq)
+        cb2 = cb2 + 2.0 * b * cdisc
+        ca = ca - c2 * cdisc
+        cc2 = -a * cdisc
+        # b = oc.d ; c2 = oc.oc - r^2 ; a = d.d ; oc = o - c
+        cocx = cb2 * dx + 2.0 * cc2 * ocx
+        cocy = cb2 * dy + 2.0 * cc2 * ocy
+        cocz = cb2 * dz + 2.0 * cc2 * ocz
+        ndx = ndx + cb2 * ocx + 2.0 * ca * dx
+        ndy = ndy + cb2 * ocy + 2.0 * ca * dy
+        ndz = ndz + cb2 * ocz + 2.0 * ca * dz
+        crad = crad - 2.0 * rad * cc2
+        nox = nox + cocx
+        noy = noy + cocy
+        noz = noz + cocz
+        ccx = ccx - cocx
+        ccy = ccy - cocy
+        ccz = ccz - cocz
+
+        # ---------- miss seeds (terminal step; carry arriving is 0) ----
+        t_sky = 0.5 * (uy + 1.0)
+        sky = [(1.0 - t_sky) + t_sky * k_c for k_c in _SKY_K]
+        mlr = sky[0] * gr
+        mlg = sky[1] * gg
+        mlb = sky[2] * gb
+        cot_t = (lr * gr * (_SKY_K[0] - 1.0)
+                 + lg * gg * (_SKY_K[1] - 1.0)
+                 + lb * gb * (_SKY_K[2] - 1.0))
+        cuy_m = 0.5 * cot_t
+        udotcu_m = uy * cuy_m
+        mdx = (-ux * udotcu_m) * inv_len
+        mdy = (cuy_m - uy * udotcu_m) * inv_len
+        mdz = (-uz * udotcu_m) * inv_len
+
+        # ---------- emit sphere cotangents for this step --------------
+        zero = jnp.zeros((1, T), jnp.float32)
+        for row, val in enumerate((ccx, ccy, ccz, crad,
+                                   ccolr, ccolg, ccolb, zero)):
+            out = jnp.where(bounce, val, 0.0) if row < 7 else val
+            cotsph_ref[0, pl.ds(k, 1), pl.ds(row, 1), :] = out.reshape(
+                1, 1, T)
+
+        # ---------- carry update --------------------------------------
+        def sel(bv, mv, cv):
+            return jnp.where(bounce, bv,
+                             jnp.where(miss, mv,
+                                       jnp.where(absorb, 0.0, cv)))
+
+        return (sel(nox, 0.0, cox), sel(noy, 0.0, coy), sel(noz, 0.0, coz),
+                sel(ndx, mdx, cdx), sel(ndy, mdy, cdy), sel(ndz, mdz, cdz),
+                sel(nlr, mlr, clr), sel(nlg, mlg, clg), sel(nlb, mlb, clb))
+
+    (cox, coy, coz, cdx, cdy, cdz, _, _, _) = jax.lax.fori_loop(
+        0, D, bwd_step,
+        (zero, zero, zero, zero, zero, zero, zero, zero, zero))
+
+    for row, val in enumerate((cox, coy, coz, cdx, cdy, cdz, zero, zero)):
+        cotray_ref[0, pl.ds(row, 1), :] = val
+
+
+def replay_bwd_pallas(params, rec_raw, pay, gcot_rows, *,
+                      tile: int, max_depth: int, interpret: bool = False,
+                      emit_fwd: bool = False):
+    """Run the backward-replay kernel.
+
+    params: the megakernel SMEM params vector (camera + image geometry,
+    scanline mode) — reuse the one built for the forward record render.
+    rec_raw (num_tiles, D, T) int32, pay (num_tiles, D, 8, T) f32 from
+    ``render_pallas_record(..., with_pay=True)``; gcot_rows
+    (num_tiles, 8, T) f32 with the image cotangent in rows 0..2.
+
+    Returns (cotsph (num_tiles, D, 8, T) — rows d/d(cx cy cz rad
+    cr cg cb) per bounce — and cotray (num_tiles, 8, T) with
+    d/d(origin), d/d(direction) of each primary ray in rows 0..5).
+    With ``emit_fwd=True`` a third output (num_tiles, 8, T) carries the
+    pass-1 replayed colours in rows 0..2 — they must BIT-MATCH the
+    forward megakernel's image (tests/test_pallas_diff.py), proving the
+    backward differentiates the true primal path.
+    """
+    num_tiles = rec_raw.shape[0]
+    D = max_depth
+    T = tile
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    kernel = functools.partial(_replay_bwd_kernel, tile=T, max_depth=D,
+                               emit_fwd=emit_fwd)
+    out_specs = [vm((1, D, 8, T), lambda i: (i, 0, 0, 0)),
+                 vm((1, 8, T), lambda i: (i, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((num_tiles, D, 8, T), jnp.float32),
+                 jax.ShapeDtypeStruct((num_tiles, 8, T), jnp.float32)]
+    if emit_fwd:
+        out_specs.append(vm((1, 8, T), lambda i: (i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((num_tiles, 8, T),
+                                              jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  vm((1, D, T), lambda i: (i, 0, 0)),
+                  vm((1, D, 8, T), lambda i: (i, 0, 0, 0)),
+                  vm((1, 8, T), lambda i: (i, 0, 0))],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((D * 9, T), jnp.float32)],
+        interpret=interpret,
+    )(params, rec_raw, pay, gcot_rows)

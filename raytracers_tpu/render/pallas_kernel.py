@@ -218,7 +218,7 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 far_root: bool, cull: bool, gen_rays: bool = True,
                 emit_state: bool = False, block_tiled: bool = False,
                 emit_float: bool = False, record: bool = False,
-                hbm_spheres: bool = False):
+                record_pay: bool = False, hbm_spheres: bool = False):
     T = tile
     C = n_clusters
     CB = aabb_ref.shape[0]
@@ -233,6 +233,9 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         out_refs = refs[n_in:-2]
         hits_ref = refs[-2]
         hits2_ref = refs[-1]
+    if record_pay:
+        pay_ref = out_refs[-1]
+        out_refs = out_refs[:-1]
     if record:
         rec_ref = out_refs[-1]
         out_refs = out_refs[:-1]
@@ -616,6 +619,15 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                                       -1),
                             -2).astype(jnp.int32)
             rec_ref[0, pl.ds(depth, 1), :] = rec
+        if record_pay:
+            # the winner's 8 sphere fields for the Pallas backward
+            # replay (grad/pallas_replay_bwd.py) — already extracted by
+            # the one-hot payload; rows beyond the hit mask are the pay
+            # init (ones) / stale values and are where-masked by the
+            # consumer via the rec events
+            for pr, val in enumerate((scx, scy, scz, srad, sr_, sg_, sb_)):
+                pay_ref[0, pl.ds(depth, 1), pl.ds(pr, 1), :] = val.reshape(
+                    1, 1, T)
 
         # sky gradient (ray.fut:141-148)
         tsky = 0.5 * (uy + 1.0)
@@ -648,6 +660,11 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         # bounces past a tile's early exit read as 'inactive' in replay
         for dd in range(max_depth):
             rec_ref[0, dd:dd + 1, :] = jnp.full((1, T), -2, jnp.int32)
+    if record_pay:
+        # ones (not zeros): the backward replay divides by the recorded
+        # radius before masking, and 0-init would put NaN-breeding infs
+        # next to the where-masks
+        pay_ref[0, :, :, :] = jnp.ones((max_depth, 8, T), jnp.float32)
 
     state = (jnp.int32(0), jnp.sum(active0), ox, oy, oz, dx, dy, dz,
              lr0, lg0, lb0, rr0, rg0, rb0, active0)
@@ -731,7 +748,8 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
 def render_pallas_record(scene: PallasScene, cam: Camera, width: int,
                          height: int, max_depth: int = MAX_DEPTH,
                          tile: int = DEFAULT_TILE, far_root: bool = True,
-                         interpret: bool = False, cull: bool | None = None):
+                         interpret: bool = False, cull: bool | None = None,
+                         with_pay: bool = False):
     """Forward render emitting float colours AND the per-bounce path
     record for differentiable replay (grad/pallas_diff.py).
 
@@ -739,6 +757,11 @@ def render_pallas_record(scene: PallasScene, cam: Camera, width: int,
     record holds the winner sphere SLOT (cluster*128+lane) for a
     scattering hit, -1 miss, -2 inactive, -3 absorbed.  Scanline tiles
     (row-major rays) so the record aligns with primary_rays order.
+
+    ``with_pay=True`` additionally returns (rec_raw, pay) in the raw
+    tile layout for the Pallas backward replay: rec_raw
+    (num_tiles, D, tile) int32 and pay (num_tiles, D, 8, tile) f32 with
+    the winner's sphere fields per bounce (rows cx cy cz rad cr cg cb).
     """
     if cull is None:
         cull = scene.n_clusters > 1
@@ -751,19 +774,26 @@ def render_pallas_record(scene: PallasScene, cam: Camera, width: int,
                     jnp.float32),
         jnp.zeros((4,), jnp.float32),
     ]).astype(jnp.float32)
-    rr, rg, rb, rec = _call_megakernel(
+    out = _call_megakernel(
         scene, params, num_tiles, tile, max_depth, far_root, cull,
         interpret, gen_rays=True, emit_state=False, emit_float=True,
-        record=True)
+        record=True, record_pay=with_pay)
+    if with_pay:
+        rr, rg, rb, rec, pay = out
+    else:
+        rr, rg, rb, rec = out
     colours = jnp.stack([rr.reshape(-1)[:R], rg.reshape(-1)[:R],
                          rb.reshape(-1)[:R]], axis=-1)
     record = rec.transpose(1, 0, 2).reshape(max_depth, num_tiles * tile)
+    if with_pay:
+        return (colours.reshape(height, width, 3), record[:, :R], rec, pay)
     return colours.reshape(height, width, 3), record[:, :R]
 
 
 def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                      cull, interpret, gen_rays, emit_state, state_in=None,
-                     block_tiled=False, emit_float=False, record=False):
+                     block_tiled=False, emit_float=False, record=False,
+                     record_pay=False):
     """Shared pallas_call wrapper for all megakernel modes."""
     C = scene.n_clusters
     CB = scene.aabbT.shape[0]
@@ -778,6 +808,7 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                                emit_state=emit_state,
                                block_tiled=block_tiled,
                                emit_float=emit_float, record=record,
+                               record_pay=record_pay,
                                hbm_spheres=hbm_spheres)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     SBR = scene.superT.shape[1]
@@ -811,6 +842,11 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                                     lambda i: (i, 0, 0))]
         out_shape = out_shape + [jax.ShapeDtypeStruct(
             (num_tiles, max_depth, tile), jnp.int32)]
+    if record_pay:
+        out_specs = out_specs + [vm((1, max_depth, 8, tile),
+                                    lambda i: (i, 0, 0, 0))]
+        out_shape = out_shape + [jax.ShapeDtypeStruct(
+            (num_tiles, max_depth, 8, tile), jnp.float32)]
     if not emit_state and not emit_float and not record:
         out_specs, out_shape = out_specs[0], out_shape[0]
     return pl.pallas_call(

@@ -1,9 +1,18 @@
 """Differentiable Pallas path (grad/pallas_diff.py), interpret mode.
 
 The custom-VJP forward is the megakernel in record mode; the backward is
-the XLA path replay.  Checks: forward values match the oracle renderer,
-gradients match the established brute-force differentiable path, and a
+either the fused Pallas replay kernel (backward="pallas", the default)
+or the XLA path replay (backward="xla").  Checks: forward values match
+the oracle renderer, gradients match the established brute-force
+differentiable path, the Pallas backward's pass-1 replay BIT-MATCHES
+the forward image (it reruns the megakernel's exact arithmetic), and a
 finite-difference probe confirms the VJP end to end.
+
+Gradient comparisons across engines are depth-limited: f32 mirror
+cascades are chaotic, so ulp-level recompute differences between the
+XLA replay's formulas and the megakernel's grow to ~1e-2 relative by
+depth 3 and ~100% by depth 6 (measured chaos floor: a 2e-7 center
+perturbation scrambles the XLA gradient itself by that much).
 """
 import numpy as np
 import jax
@@ -26,8 +35,9 @@ def _setup():
     return sc.spheres, cam
 
 
-def _loss_pallas(spheres, cam, depth=DEPTH):
-    f = make_render_pallas_diff(W, H, max_depth=depth, interpret=True)
+def _loss_pallas(spheres, cam, depth=DEPTH, backward="pallas"):
+    f = make_render_pallas_diff(W, H, max_depth=depth, interpret=True,
+                                backward=backward)
     img = f(spheres, cam)
     return jnp.sum(img * jnp.sin(jnp.arange(img.size).reshape(img.shape)))
 
@@ -60,9 +70,14 @@ def test_grad_matches_brute_path():
     """At depth 3 the discrete path records agree ray-for-ray (at depth 4
     a handful of rays diverge after three chaotic mirror bounces — ulp
     differences between kernel and tracer arithmetic flip their last-step
-    outcome; both sides' gradients are correct for their own record)."""
+    outcome; both sides' gradients are correct for their own record).
+    backward="xla" so both sides recompute with the same sphere_hit_t
+    formulas — the Pallas backward reruns the megakernel's arithmetic
+    instead, which drifts ~1e-2 from the tracer's by depth 3 (chaos);
+    its link to this chain is test_pallas_bwd_matches_xla_shallow."""
     spheres, cam = _setup()
-    g_p = jax.grad(lambda s, c: _loss_pallas(s, c, depth=3))(spheres, cam)
+    g_p = jax.grad(lambda s, c: _loss_pallas(s, c, depth=3,
+                                             backward="xla"))(spheres, cam)
     g_b = jax.grad(lambda s, c: _loss_brute(s, c, depth=3))(spheres, cam)
     for a, b, name in [(g_p.center, g_b.center, "center"),
                        (g_p.radius, g_b.radius, "radius"),
@@ -99,8 +114,10 @@ def test_grad_finite_difference():
 
 def test_grad_chunked_bwd_matches():
     spheres, cam = _setup()
-    f1 = make_render_pallas_diff(W, H, max_depth=DEPTH, interpret=True)
+    f1 = make_render_pallas_diff(W, H, max_depth=DEPTH, interpret=True,
+                                 backward="xla")
     f4 = make_render_pallas_diff(W, H, max_depth=DEPTH, interpret=True,
+                                 backward="xla",
                                  bwd_chunks=4, sort_by_depth=False)
     g1 = jax.grad(lambda s: jnp.sum(f1(s, cam) ** 2))(spheres)
     g4 = jax.grad(lambda s: jnp.sum(f4(s, cam) ** 2))(spheres)
@@ -114,8 +131,10 @@ def test_grad_sorted_bwd_matches_unsorted():
     the plain chunked replay (identical up to f32 ray-sum ordering)."""
     spheres, cam = _setup()
     f_plain = make_render_pallas_diff(W, H, max_depth=DEPTH, interpret=True,
+                                      backward="xla",
                                       bwd_chunks=4, sort_by_depth=False)
     f_sort = make_render_pallas_diff(W, H, max_depth=DEPTH, interpret=True,
+                                     backward="xla",
                                      bwd_chunks=4, sort_by_depth=True)
 
     def loss(f, s, c):
@@ -131,3 +150,63 @@ def test_grad_sorted_bwd_matches_unsorted():
     for a, b in zip(jax.tree.leaves((gs1, gc1)), jax.tree.leaves((gs2, gc2))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=3e-4)
+
+
+def test_pallas_bwd_replay_bitexact():
+    """The backward kernel's pass-1 forward replay must BIT-MATCH the
+    megakernel's image at full depth 50: it reruns the megakernel's
+    exact arithmetic (reciprocal-multiply roots, rsqrt, key-floored
+    widened window) from the (rec, pay) record, so the cotangent sweep
+    differentiates the true primal path, not an ulp-divergent cousin."""
+    from raytracers_tpu.render.pallas_kernel import (build_pallas_scene,
+                                                     render_pallas_record)
+    from raytracers_tpu.grad.pallas_replay_bwd import replay_bwd_pallas
+
+    spheres, cam = _setup()
+    tile = 256
+    scene = build_pallas_scene(spheres)
+    colours, _, rec_raw, pay = render_pallas_record(
+        scene, cam, W, H, max_depth=50, tile=tile, interpret=True,
+        with_pay=True)
+    params = jnp.concatenate([
+        cam.llc, cam.horizontal, cam.vertical, cam.origin,
+        jnp.zeros((4,), jnp.float32),
+        jnp.asarray([W, H, 1.0 / W, 1.0 / H], jnp.float32),
+        jnp.zeros((4,), jnp.float32)]).astype(jnp.float32)
+    nt = rec_raw.shape[0]
+    gcot = jnp.zeros((nt, 8, tile), jnp.float32)
+    _, _, fwdcol = replay_bwd_pallas(params, rec_raw, pay, gcot, tile=tile,
+                                     max_depth=50, interpret=True,
+                                     emit_fwd=True)
+    R = W * H
+    rep = np.asarray(fwdcol[:, 0:3, :].transpose(0, 2, 1)
+                     .reshape(-1, 3)[:R].reshape(H, W, 3))
+    np.testing.assert_array_equal(rep, np.asarray(colours))
+
+
+def test_pallas_bwd_matches_xla_shallow():
+    """Pallas and XLA backwards agree at shallow depth.  Depth 2 keeps
+    chaos amplification of their ulp-level formula differences (the XLA
+    replay divides where the kernel reciprocal-multiplies) under ~1e-3;
+    beyond depth ~4 element-wise comparison is meaningless (chaos floor
+    reaches 100% by depth 6 — see module docstring)."""
+    spheres, cam = _setup()
+
+    def lossf(f):
+        def L(s, c):
+            img = f(s, c)
+            w = jnp.sin(jnp.arange(img.size,
+                                   dtype=jnp.float32)).reshape(img.shape)
+            return jnp.sum(img * w)
+        return L
+
+    f_x = make_render_pallas_diff(W, H, max_depth=2, interpret=True,
+                                  backward="xla")
+    f_p = make_render_pallas_diff(W, H, max_depth=2, interpret=True,
+                                  backward="pallas")
+    gx = jax.grad(lossf(f_x), argnums=(0, 1))(spheres, cam)
+    gp = jax.grad(lossf(f_p), argnums=(0, 1))(spheres, cam)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / scale < 3e-3

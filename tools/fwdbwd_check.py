@@ -14,6 +14,9 @@ def main():
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--backward", default="pallas",
+                    choices=["pallas", "xla"])
+    ap.add_argument("--tile", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -26,8 +29,12 @@ def main():
     sc = scenes.rgbbox()
     W = H = args.res
     cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, W / H)
+    kw = {}
+    if args.tile:
+        kw["tile"] = args.tile
     f = make_render_pallas_diff(W, H, max_depth=args.depth,
-                                bwd_chunks=args.chunks)
+                                bwd_chunks=args.chunks,
+                                backward=args.backward, **kw)
 
     def loss(spheres, cam):
         img = f(spheres, cam)
