@@ -143,7 +143,10 @@ def main():
             from raytracers_tpu.grad.pallas_diff import make_render_pallas_diff
             cam = mk_camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov,
                             W / H)
-            f = make_render_pallas_diff(W, H, max_depth=50, bwd_chunks=8)
+            # measured-best fwd+bwd config on v5e (tools/fwdbwd_check.py
+            # sweep): fused Pallas backward, 2048-ray (32, 64) block tiles
+            f = make_render_pallas_diff(W, H, max_depth=50, tile=2048,
+                                        block=(32, 64))
 
             def loss(sph, cam):
                 img = f(sph, cam)

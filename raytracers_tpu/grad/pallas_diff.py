@@ -54,7 +54,8 @@ def make_render_pallas_diff(width: int, height: int,
                             remat: bool = True,
                             sort_by_depth: bool = False,
                             skip_dead: bool | None = None,
-                            backward: str = "pallas"):
+                            backward: str = "pallas",
+                            block: tuple | None = None):
     """Build a differentiable ``f(spheres, cam) -> colours (h, w, 3)``
     whose forward pass is the Pallas megakernel.
 
@@ -81,10 +82,14 @@ def make_render_pallas_diff(width: int, height: int,
     backward is one Pallas program per ray tile plus a batched bf16
     one-hot segment-sum); "xla" is the whole-batch scan replay
     (diff_render.replay_paths).  Gradients agree to f32 accumulation
-    order (tests/test_pallas_diff.py)."""
+    order (tests/test_pallas_diff.py).
+
+    ``block=(bh, bw)`` (backward="pallas" only) runs both passes over
+    2-D image-rectangle tiles with bh*bw == tile — same speedup as the
+    forward renderer's block mode (tighter per-tile cluster unions)."""
     if backward == "pallas":
         return _make_render_pallas_diff_kernel(width, height, max_depth,
-                                               tile, interpret)
+                                               tile, interpret, block)
 
     @jax.custom_vjp
     def render_diff(spheres: Spheres, cam: Camera):
@@ -194,7 +199,7 @@ def make_render_pallas_diff(width: int, height: int,
 
 
 def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
-                                    interpret):
+                                    interpret, block=None):
     """backward="pallas": fused TPU backward replay.
 
     Forward: megakernel record_pay mode (colours + per-bounce winner
@@ -208,13 +213,23 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
     from .diff_render import _oh_of, _split3
     from .pallas_replay_bwd import replay_bwd_pallas
 
+    if block is not None:
+        bh, bw = block
+        assert bh * bw == tile, (block, tile)
+        wp = -(-width // bw) * bw
+        hp = -(-height // bh) * bh
+        blk_params = jnp.asarray(
+            [wp // bw, bw, bh, 1.0 / (wp // bw)], jnp.float32)
+    else:
+        blk_params = jnp.zeros((4,), jnp.float32)
+
     def _params(cam):
         return jnp.concatenate([
             cam.llc, cam.horizontal, cam.vertical, cam.origin,
             jnp.zeros((4,), jnp.float32),
             jnp.asarray([width, height, 1.0 / width, 1.0 / height],
                         jnp.float32),
-            jnp.zeros((4,), jnp.float32),
+            blk_params,
         ]).astype(jnp.float32)
 
     @jax.custom_vjp
@@ -222,14 +237,14 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
         scene = build_pallas_scene(spheres)
         colours, _ = render_pallas_record(
             scene, cam, width, height, max_depth=max_depth, tile=tile,
-            interpret=interpret)
+            interpret=interpret, block=block)
         return colours
 
     def fwd(spheres, cam):
         scene = build_pallas_scene(spheres)
         colours, _, rec_raw, pay = render_pallas_record(
             scene, cam, width, height, max_depth=max_depth, tile=tile,
-            interpret=interpret, with_pay=True)
+            interpret=interpret, with_pay=True, block=block)
         return colours, (spheres, cam, rec_raw, pay, scene.order)
 
     def bwd(res, g):
@@ -238,40 +253,73 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
         nt = rec_raw.shape[0]
         R = width * height
         Rp = nt * tile
-        gflat = jnp.pad(g.reshape(-1, 3), ((0, Rp - R), (0, 0)))
-        gcot_rows = jnp.concatenate([
-            gflat.T.reshape(3, nt, tile).transpose(1, 0, 2),
-            jnp.zeros((nt, 5, tile), jnp.float32)], axis=1)   # (nt, 8, T)
-        cotsph, cotray = replay_bwd_pallas(
-            _params(cam), rec_raw, pay, gcot_rows, tile=tile,
-            max_depth=max_depth, interpret=interpret)
-
-        # batched slot-space segment-sum: one exact bf16 one-hot dot per
-        # depth (padding rays carry zero cotangent; non-bounce steps were
-        # written as zeros by the kernel, so clipped ids are harmless)
         S = order.size
-        ids = rec_raw.transpose(1, 0, 2).reshape(max_depth, Rp)
-        cots = cotsph.transpose(1, 2, 0, 3).reshape(max_depth, 8, Rp)
+        C = S // 128
+        if block is not None:
+            # scramble the image cotangent into block-tile order
+            gpad = jnp.pad(g, ((0, hp - height), (0, wp - width), (0, 0)))
+            gtiles = (gpad.reshape(hp // bh, bh, wp // bw, bw, 3)
+                      .transpose(0, 2, 4, 1, 3).reshape(nt, 3, tile))
+            gcot_rows = jnp.concatenate(
+                [gtiles, jnp.zeros((nt, 5, tile), jnp.float32)], axis=1)
+        else:
+            gflat = jnp.pad(g.reshape(-1, 3), ((0, Rp - R), (0, 0)))
+            gcot_rows = jnp.concatenate([
+                gflat.T.reshape(3, nt, tile).transpose(1, 0, 2),
+                jnp.zeros((nt, 5, tile), jnp.float32)], axis=1)  # (nt,8,T)
 
-        def body(tab, xs):
-            ids_d, cot_d = xs
-            oh = _oh_of(jnp.clip(ids_d, 0, None), S)          # (Rp, S)
-            c3 = jax.lax.dot_general(
-                oh, jnp.concatenate(_split3(cot_d[:7].T), axis=1),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (S, 21)
-            return tab + (c3[:, 0:7] + c3[:, 7:14] + c3[:, 14:21]), None
+        if C <= 16:
+            # in-kernel slot reduction (the (rays, slots) one-hot never
+            # leaves VMEM); per-cluster NT-dot cost grows with C, so
+            # larger scenes fall back to the batched XLA segment-sum
+            tblred, cotray = replay_bwd_pallas(
+                _params(cam), rec_raw, pay, gcot_rows, tile=tile,
+                max_depth=max_depth, interpret=interpret,
+                reduce_clusters=C, block_tiled=block is not None)
+            t = tblred.sum(axis=0)                            # (C*24, 128)
+            t = t.reshape(C, 3, 8, 128).sum(axis=1)           # (C, 8, 128)
+            tab_slot = t.transpose(0, 2, 1).reshape(S, 8)[:, :7]
+        else:
+            cotsph, cotray = replay_bwd_pallas(
+                _params(cam), rec_raw, pay, gcot_rows, tile=tile,
+                max_depth=max_depth, interpret=interpret,
+                block_tiled=block is not None)
 
-        tab_slot, _ = jax.lax.scan(
-            body, jnp.zeros((S, 7), jnp.float32), (ids, cots))
+            # batched slot-space segment-sum: one exact bf16 one-hot dot
+            # per depth (padding rays carry zero cotangent; non-bounce
+            # steps were written as zeros by the kernel, so clipped ids
+            # are harmless)
+            ids = rec_raw.transpose(1, 0, 2).reshape(max_depth, Rp)
+            cots = cotsph.transpose(1, 2, 0, 3).reshape(max_depth, 8, Rp)
+
+            def body(tab, xs):
+                ids_d, cot_d = xs
+                oh = _oh_of(jnp.clip(ids_d, 0, None), S)      # (Rp, S)
+                c3 = jax.lax.dot_general(
+                    oh, jnp.concatenate(_split3(cot_d[:7].T), axis=1),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (S, 21)
+                return tab + (c3[:, 0:7] + c3[:, 7:14] + c3[:, 14:21]), None
+
+            tab_slot, _ = jax.lax.scan(
+                body, jnp.zeros((S, 7), jnp.float32), (ids, cots))
         ordv = order.reshape(-1)
         tgt = jnp.where(ordv >= 0, ordv, n)                   # pad -> dropped
         tab = jnp.zeros((n + 1, 7), jnp.float32).at[tgt].add(tab_slot)[:n]
         gs = Spheres(center=tab[:, 0:3], radius=tab[:, 3],
                      color=tab[:, 4:7])
 
-        go = cotray[:, 0:3, :].transpose(0, 2, 1).reshape(-1, 3)[:R]
-        gd = cotray[:, 3:6, :].transpose(0, 2, 1).reshape(-1, 3)[:R]
+        if block is not None:
+            # unscramble block tiles back to row-major ray order
+            rays6 = (cotray[:, 0:6, :].transpose(1, 0, 2)
+                     .reshape(6, hp // bh, wp // bw, bh, bw)
+                     .transpose(0, 1, 3, 2, 4).reshape(6, hp, wp)
+                     [:, :height, :width].reshape(6, R))
+            go = rays6[0:3].T
+            gd = rays6[3:6].T
+        else:
+            go = cotray[:, 0:3, :].transpose(0, 2, 1).reshape(-1, 3)[:R]
+            gd = cotray[:, 3:6, :].transpose(0, 2, 1).reshape(-1, 3)[:R]
         _, vjp_rays = jax.vjp(lambda c: primary_rays(c, width, height), cam)
         (gcam,) = vjp_rays((go, gd))
         return gs, gcam

@@ -99,11 +99,13 @@ def _quad(ox, oy, oz, dx, dy, dz, cx, cy, cz, rad):
 
 
 def _replay_bwd_kernel(params_ref, rec_ref, pay_ref, gcot_ref, *refs,
-                       tile: int, max_depth: int, emit_fwd: bool):
-    if emit_fwd:
-        cotsph_ref, cotray_ref, fwd_ref, st_ref = refs
-    else:
-        cotsph_ref, cotray_ref, st_ref = refs
+                       tile: int, max_depth: int, emit_fwd: bool,
+                       reduce_clusters: int, block_tiled: bool):
+    refs = list(refs)
+    cot_ref = refs.pop(0)       # (1,D,8,T) cotsph OR (1,C*24,128) table
+    cotray_ref = refs.pop(0)
+    fwd_ref = refs.pop(0) if emit_fwd else None
+    st_ref = refs.pop(0)
     T = tile
     D = max_depth
     width = params_ref[16]
@@ -111,16 +113,38 @@ def _replay_bwd_kernel(params_ref, rec_ref, pay_ref, gcot_ref, *refs,
     inv_w = params_ref[18]
     inv_h = params_ref[19]
 
-    # ---- primary rays (scanline tiles, same math as the megakernel) ----
+    # ---- primary rays (same tile->pixel math as the megakernel) ----
     pid = pl.program_id(0)
     lid = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(jnp.float32)
-    ids = pid * T + lid
-    j = jnp.floor(ids * inv_w)
-    i = ids - j * width
-    ov = (i >= width).astype(jnp.float32)
-    un = (i < 0.0).astype(jnp.float32)
-    i = i - ov * width + un * width
-    j = j + ov - un
+    if block_tiled:
+        bpr = params_ref[20]
+        bw = params_ref[21]
+        bh = params_ref[22]
+        inv_bpr = params_ref[23]
+        pidf = jnp.float32(pid)
+        tr = jnp.floor(pidf * inv_bpr)
+        tc = pidf - tr * bpr
+        ov = (tc >= bpr).astype(jnp.float32)
+        un = (tc < 0.0).astype(jnp.float32)
+        tc = tc - ov * bpr + un * bpr
+        tr = tr + ov - un
+        inv_bw = 1.0 / bw
+        by = jnp.floor(lid * inv_bw)
+        bx = lid - by * bw
+        ov = (bx >= bw).astype(jnp.float32)
+        un = (bx < 0.0).astype(jnp.float32)
+        bx = bx - ov * bw + un * bw
+        by = by + ov - un
+        i = tc * bw + bx
+        j = tr * bh + by
+    else:
+        ids = pid * T + lid
+        j = jnp.floor(ids * inv_w)
+        i = ids - j * width
+        ov = (i >= width).astype(jnp.float32)
+        un = (i < 0.0).astype(jnp.float32)
+        i = i - ov * width + un * width
+        j = j + ov - un
     u = i * inv_w
     v = (height - j) * inv_h
     dx0 = params_ref[0] + u * params_ref[3] + v * params_ref[6] - params_ref[9]
@@ -204,6 +228,9 @@ def _replay_bwd_kernel(params_ref, rec_ref, pay_ref, gcot_ref, *refs,
     gr = gcot_ref[0, pl.ds(0, 1), :]
     gg = gcot_ref[0, pl.ds(1, 1), :]
     gb = gcot_ref[0, pl.ds(2, 1), :]
+    if reduce_clusters:
+        cot_ref[0, :, :] = jnp.zeros((reduce_clusters * 24, 128),
+                                     jnp.float32)
 
     # ---- pass 2: deepest-first cotangent sweep ----
     def bwd_step(jj, carry):
@@ -330,11 +357,42 @@ def _replay_bwd_kernel(params_ref, rec_ref, pay_ref, gcot_ref, *refs,
 
         # ---------- emit sphere cotangents for this step --------------
         zero = jnp.zeros((1, T), jnp.float32)
-        for row, val in enumerate((ccx, ccy, ccz, crad,
-                                   ccolr, ccolg, ccolb, zero)):
-            out = jnp.where(bounce, val, 0.0) if row < 7 else val
-            cotsph_ref[0, pl.ds(k, 1), pl.ds(row, 1), :] = out.reshape(
-                1, 1, T)
+        if reduce_clusters:
+            # in-kernel slot reduction: build the bounce-masked (8, T)
+            # cotangent rows arithmetically (no (1,T)->(8,T) select_n
+            # broadcast in Mosaic), split each f32 into 3 exact bf16
+            # terms, mask per cluster, and accumulate the (C*24, 128)
+            # table with ONE natural-layout NT MXU dot against the
+            # winner-lane one-hot — the whole (rays x slots) segment-sum
+            # never touches HBM
+            C = reduce_clusters
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            cot8 = jnp.zeros((8, T), jnp.float32)
+            for row, val in enumerate((ccx, ccy, ccz, crad,
+                                       ccolr, ccolg, ccolb)):
+                m = (row_ids == row).astype(jnp.float32)
+                cot8 = cot8 + m * jnp.where(bounce, val, 0.0)
+            hi = cot8.astype(jnp.bfloat16)
+            r1 = cot8 - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            split24 = jnp.concatenate([hi, mid, lo], axis=0)   # (24, T)
+            cidx = jax.lax.shift_right_arithmetic(rec, 7)      # (1, T)
+            bigcot = jnp.concatenate(
+                [split24 * (cidx == c).astype(jnp.bfloat16)
+                 for c in range(C)], axis=0)                   # (C*24, T)
+            lane = rec & jnp.int32(127)
+            lane_oh = (jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+                       == lane).astype(jnp.bfloat16)           # (128, T)
+            cot_ref[0, :, :] = cot_ref[0, :, :] + jax.lax.dot_general(
+                bigcot, lane_oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (C*24, 128)
+        else:
+            for row, val in enumerate((ccx, ccy, ccz, crad,
+                                       ccolr, ccolg, ccolb, zero)):
+                out = jnp.where(bounce, val, 0.0) if row < 7 else val
+                cot_ref[0, pl.ds(k, 1), pl.ds(row, 1), :] = out.reshape(
+                    1, 1, T)
 
         # ---------- carry update --------------------------------------
         def sel(bv, mv, cv):
@@ -356,7 +414,9 @@ def _replay_bwd_kernel(params_ref, rec_ref, pay_ref, gcot_ref, *refs,
 
 def replay_bwd_pallas(params, rec_raw, pay, gcot_rows, *,
                       tile: int, max_depth: int, interpret: bool = False,
-                      emit_fwd: bool = False):
+                      emit_fwd: bool = False,
+                      reduce_clusters: int | None = None,
+                      block_tiled: bool = False):
     """Run the backward-replay kernel.
 
     params: the megakernel SMEM params vector (camera + image geometry,
@@ -365,10 +425,18 @@ def replay_bwd_pallas(params, rec_raw, pay, gcot_rows, *,
     ``render_pallas_record(..., with_pay=True)``; gcot_rows
     (num_tiles, 8, T) f32 with the image cotangent in rows 0..2.
 
-    Returns (cotsph (num_tiles, D, 8, T) — rows d/d(cx cy cz rad
-    cr cg cb) per bounce — and cotray (num_tiles, 8, T) with
-    d/d(origin), d/d(direction) of each primary ray in rows 0..5).
-    With ``emit_fwd=True`` a third output (num_tiles, 8, T) carries the
+    Returns (cotsph, cotray (num_tiles, 8, T) with d/d(origin),
+    d/d(direction) of each primary ray in rows 0..5).  cotsph is
+    per-bounce (num_tiles, D, 8, T) — rows d/d(cx cy cz rad cr cg cb) —
+    by default; with ``reduce_clusters=C`` the kernel instead
+    segment-sums cotangents onto slots as it sweeps (exact 3-term bf16
+    one-hot MXU dots entirely in VMEM) and cotsph is the per-tile slot
+    table (num_tiles, C*24, 128): 24 rows per cluster = the bf16
+    hi/mid/lo planes of the 8 fields, 128 lanes = sphere-in-cluster.
+    Sum over tiles and the 3 planes to get the (S, 8) slot table — this
+    removes the dominant HBM traffic of the whole backward (the
+    (rays, slots) one-hot never materialises).
+    With ``emit_fwd=True`` the last output (num_tiles, 8, T) carries the
     pass-1 replayed colours in rows 0..2 — they must BIT-MATCH the
     forward megakernel's image (tests/test_pallas_diff.py), proving the
     backward differentiates the true primal path.
@@ -378,11 +446,20 @@ def replay_bwd_pallas(params, rec_raw, pay, gcot_rows, *,
     T = tile
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     kernel = functools.partial(_replay_bwd_kernel, tile=T, max_depth=D,
-                               emit_fwd=emit_fwd)
-    out_specs = [vm((1, D, 8, T), lambda i: (i, 0, 0, 0)),
-                 vm((1, 8, T), lambda i: (i, 0, 0))]
-    out_shape = [jax.ShapeDtypeStruct((num_tiles, D, 8, T), jnp.float32),
-                 jax.ShapeDtypeStruct((num_tiles, 8, T), jnp.float32)]
+                               emit_fwd=emit_fwd,
+                               reduce_clusters=reduce_clusters or 0,
+                               block_tiled=block_tiled)
+    if reduce_clusters:
+        C = reduce_clusters
+        out_specs = [vm((1, C * 24, 128), lambda i: (i, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((num_tiles, C * 24, 128),
+                                          jnp.float32)]
+    else:
+        out_specs = [vm((1, D, 8, T), lambda i: (i, 0, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((num_tiles, D, 8, T),
+                                          jnp.float32)]
+    out_specs += [vm((1, 8, T), lambda i: (i, 0, 0))]
+    out_shape += [jax.ShapeDtypeStruct((num_tiles, 8, T), jnp.float32)]
     if emit_fwd:
         out_specs.append(vm((1, 8, T), lambda i: (i, 0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((num_tiles, 8, T),

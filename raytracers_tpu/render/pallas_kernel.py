@@ -749,7 +749,7 @@ def render_pallas_record(scene: PallasScene, cam: Camera, width: int,
                          height: int, max_depth: int = MAX_DEPTH,
                          tile: int = DEFAULT_TILE, far_root: bool = True,
                          interpret: bool = False, cull: bool | None = None,
-                         with_pay: bool = False):
+                         with_pay: bool = False, block: tuple | None = None):
     """Forward render emitting float colours AND the per-bounce path
     record for differentiable replay (grad/pallas_diff.py).
 
@@ -762,26 +762,58 @@ def render_pallas_record(scene: PallasScene, cam: Camera, width: int,
     tile layout for the Pallas backward replay: rec_raw
     (num_tiles, D, tile) int32 and pay (num_tiles, D, 8, tile) f32 with
     the winner's sphere fields per bounce (rows cx cy cz rad cr cg cb).
+
+    ``block=(bh, bw)`` uses 2-D image-rectangle tiles like
+    ``render_pallas`` (tighter cluster unions -> faster forward); the
+    colours and the per-ray ``record`` are unscrambled to image order,
+    while rec_raw/pay stay in the raw block-tile layout (the Pallas
+    backward regenerates the same block mapping in-kernel).
     """
     if cull is None:
         cull = scene.n_clusters > 1
     R = width * height
-    num_tiles = -(-R // tile)
+    if block is not None:
+        bh, bw = block
+        assert bh * bw == tile, (block, tile)
+        wp = -(-width // bw) * bw
+        hp = -(-height // bh) * bh
+        num_tiles = (wp // bw) * (hp // bh)
+        blk_params = jnp.asarray(
+            [wp // bw, bw, bh, 1.0 / (wp // bw)], jnp.float32)
+    else:
+        num_tiles = -(-R // tile)
+        blk_params = jnp.zeros((4,), jnp.float32)
     params = jnp.concatenate([
         cam.llc, cam.horizontal, cam.vertical, cam.origin,
         jnp.zeros((4,), jnp.float32),
         jnp.asarray([width, height, 1.0 / width, 1.0 / height],
                     jnp.float32),
-        jnp.zeros((4,), jnp.float32),
+        blk_params,
     ]).astype(jnp.float32)
     out = _call_megakernel(
         scene, params, num_tiles, tile, max_depth, far_root, cull,
         interpret, gen_rays=True, emit_state=False, emit_float=True,
-        record=True, record_pay=with_pay)
+        record=True, record_pay=with_pay, block_tiled=block is not None)
     if with_pay:
         rr, rg, rb, rec, pay = out
     else:
         rr, rg, rb, rec = out
+
+    if block is not None:
+        def unscramble(x):
+            # (num_tiles, tile) -> (h, w) image order
+            return (x.reshape(hp // bh, wp // bw, bh, bw)
+                    .transpose(0, 2, 1, 3).reshape(hp, wp)
+                    [:height, :width])
+
+        colours = jnp.stack([unscramble(rr), unscramble(rg),
+                             unscramble(rb)], axis=-1)
+        record = jax.vmap(unscramble)(
+            rec.transpose(1, 0, 2)).reshape(max_depth, R)
+        if with_pay:
+            return colours, record, rec, pay
+        return colours, record
+
     colours = jnp.stack([rr.reshape(-1)[:R], rg.reshape(-1)[:R],
                          rb.reshape(-1)[:R]], axis=-1)
     record = rec.transpose(1, 0, 2).reshape(max_depth, num_tiles * tile)
