@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from ..geometry import MAX_DEPTH, Camera, Spheres
 from ..render.pallas_kernel import (build_pallas_scene,
-                                    render_pallas_record)
+                                    render_pallas_record,
+                                    render_pallas_record_twophase)
 from ..render.tracer import primary_rays
 from .diff_render import (EV_ABSORB, EV_BOUNCE, EV_INACTIVE, EV_MISS,
                           replay_paths)
@@ -55,7 +56,8 @@ def make_render_pallas_diff(width: int, height: int,
                             sort_by_depth: bool = False,
                             skip_dead: bool | None = None,
                             backward: str = "pallas",
-                            block: tuple | None = None):
+                            block: tuple | None = None,
+                            phase1_depth: int | None = None):
     """Build a differentiable ``f(spheres, cam) -> colours (h, w, 3)``
     whose forward pass is the Pallas megakernel.
 
@@ -86,10 +88,16 @@ def make_render_pallas_diff(width: int, height: int,
 
     ``block=(bh, bw)`` (backward="pallas" only) runs both passes over
     2-D image-rectangle tiles with bh*bw == tile — same speedup as the
-    forward renderer's block mode (tighter per-tile cluster unions)."""
+    forward renderer's block mode (tighter per-tile cluster unions).
+
+    ``phase1_depth=p`` (backward="pallas" only) compacts survivors after
+    p bounces exactly like render_pallas_twophase — both the forward
+    record AND the backward replay run the deep segment on compacted
+    rays, with the 9-row cotangent carry handed across the boundary."""
     if backward == "pallas":
         return _make_render_pallas_diff_kernel(width, height, max_depth,
-                                               tile, interpret, block)
+                                               tile, interpret, block,
+                                               phase1_depth)
 
     @jax.custom_vjp
     def render_diff(spheres: Spheres, cam: Camera):
@@ -199,7 +207,8 @@ def make_render_pallas_diff(width: int, height: int,
 
 
 def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
-                                    interpret, block=None):
+                                    interpret, block=None,
+                                    phase1_depth=None):
     """backward="pallas": fused TPU backward replay.
 
     Forward: megakernel record_pay mode (colours + per-bounce winner
@@ -209,6 +218,16 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
     segment-summed onto the sphere table with the exact bf16 one-hot
     dots (diff_render._split3) batched over depth, then scattered from
     Morton-slot order back to the caller's sphere order.
+
+    With ``phase1_depth=p`` both directions are split into a shallow
+    segment (all rays, primary layout) and a deep segment (compacted
+    survivors): the forward is render_pallas_record_twophase, the
+    backward first replays the deep segment from the sorted boundary
+    state (emitting the 9-row cotangent carry), scatters the carry back
+    to primary ray order, and replays the shallow segment seeded with
+    it.  Gradients are exact for the same reason the single-segment
+    replay is: per-ray arithmetic is identical, segment hand-off is just
+    the chain rule at the depth-p cut.
     """
     from .diff_render import _oh_of, _split3
     from .pallas_replay_bwd import replay_bwd_pallas
@@ -232,77 +251,146 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
             blk_params,
         ]).astype(jnp.float32)
 
-    @jax.custom_vjp
-    def render_diff(spheres: Spheres, cam: Camera):
-        scene = build_pallas_scene(spheres)
-        colours, _ = render_pallas_record(
-            scene, cam, width, height, max_depth=max_depth, tile=tile,
-            interpret=interpret, block=block)
-        return colours
-
-    def fwd(spheres, cam):
-        scene = build_pallas_scene(spheres)
-        colours, _, rec_raw, pay = render_pallas_record(
-            scene, cam, width, height, max_depth=max_depth, tile=tile,
-            interpret=interpret, with_pay=True, block=block)
-        return colours, (spheres, cam, rec_raw, pay, scene.order)
-
-    def bwd(res, g):
-        spheres, cam, rec_raw, pay, order = res
-        n = spheres.center.shape[0]
-        nt = rec_raw.shape[0]
+    def _gflat(g, Rp):
+        """Image cotangent -> (Rp, 3) in the forward's tile-ray order."""
         R = width * height
-        Rp = nt * tile
-        S = order.size
-        C = S // 128
         if block is not None:
-            # scramble the image cotangent into block-tile order
             gpad = jnp.pad(g, ((0, hp - height), (0, wp - width), (0, 0)))
-            gtiles = (gpad.reshape(hp // bh, bh, wp // bw, bw, 3)
-                      .transpose(0, 2, 4, 1, 3).reshape(nt, 3, tile))
-            gcot_rows = jnp.concatenate(
-                [gtiles, jnp.zeros((nt, 5, tile), jnp.float32)], axis=1)
-        else:
-            gflat = jnp.pad(g.reshape(-1, 3), ((0, Rp - R), (0, 0)))
-            gcot_rows = jnp.concatenate([
-                gflat.T.reshape(3, nt, tile).transpose(1, 0, 2),
-                jnp.zeros((nt, 5, tile), jnp.float32)], axis=1)  # (nt,8,T)
+            return (gpad.reshape(hp // bh, bh, wp // bw, bw, 3)
+                    .transpose(0, 2, 1, 3, 4).reshape(Rp, 3))
+        return jnp.pad(g.reshape(-1, 3), ((0, Rp - R), (0, 0)))
 
+    def _rows16(arr3, nt, carry9=None):
+        """(Rp, 3) cotangent (+ optional (Rp, 9) carry) -> (nt, 16, T)."""
+        rows = [arr3.T.reshape(3, nt, tile).transpose(1, 0, 2)]
+        if carry9 is not None:
+            rows.append(carry9.T.reshape(9, nt, tile).transpose(1, 0, 2))
+            rows.append(jnp.zeros((nt, 4, tile), jnp.float32))
+        else:
+            rows.append(jnp.zeros((nt, 13, tile), jnp.float32))
+        return jnp.concatenate(rows, axis=1)
+
+    def _segments_to_tab(segs, S, C, cam, interpret):
+        """Run the replay kernel over each (rec, pay, gcot, state, bt, D)
+        segment and reduce all slot cotangents to tab_slot (S, 7).
+        Returns (tab_slot, [cotray per segment])."""
+        cotrays = []
         if C <= 16:
             # in-kernel slot reduction (the (rays, slots) one-hot never
             # leaves VMEM); per-cluster NT-dot cost grows with C, so
             # larger scenes fall back to the batched XLA segment-sum
-            tblred, cotray = replay_bwd_pallas(
-                _params(cam), rec_raw, pay, gcot_rows, tile=tile,
-                max_depth=max_depth, interpret=interpret,
-                reduce_clusters=C, block_tiled=block is not None)
-            t = tblred.sum(axis=0)                            # (C*24, 128)
-            t = t.reshape(C, 3, 8, 128).sum(axis=1)           # (C, 8, 128)
+            acc = None
+            for rec_s, pay_s, gcot_s, state_s, bt, D_s in segs:
+                tblred, cotray = replay_bwd_pallas(
+                    _params(cam), rec_s, pay_s, gcot_s, tile=tile,
+                    max_depth=D_s, interpret=interpret,
+                    reduce_clusters=C, block_tiled=bt,
+                    state_rows=state_s)
+                cotrays.append(cotray)
+                t = tblred.sum(axis=0)                       # (C*24, 128)
+                acc = t if acc is None else acc + t
+            t = acc.reshape(C, 3, 8, 128).sum(axis=1)        # (C, 8, 128)
             tab_slot = t.transpose(0, 2, 1).reshape(S, 8)[:, :7]
-        else:
+            return tab_slot, cotrays
+
+        tab_slot = jnp.zeros((S, 7), jnp.float32)
+        for rec_s, pay_s, gcot_s, state_s, bt, D_s in segs:
             cotsph, cotray = replay_bwd_pallas(
-                _params(cam), rec_raw, pay, gcot_rows, tile=tile,
-                max_depth=max_depth, interpret=interpret,
-                block_tiled=block is not None)
+                _params(cam), rec_s, pay_s, gcot_s, tile=tile,
+                max_depth=D_s, interpret=interpret, block_tiled=bt,
+                state_rows=state_s)
+            cotrays.append(cotray)
+            Rp_s = rec_s.shape[0] * tile
 
             # batched slot-space segment-sum: one exact bf16 one-hot dot
             # per depth (padding rays carry zero cotangent; non-bounce
             # steps were written as zeros by the kernel, so clipped ids
             # are harmless)
-            ids = rec_raw.transpose(1, 0, 2).reshape(max_depth, Rp)
-            cots = cotsph.transpose(1, 2, 0, 3).reshape(max_depth, 8, Rp)
+            ids = rec_s.transpose(1, 0, 2).reshape(D_s, Rp_s)
+            cots = cotsph.transpose(1, 2, 0, 3).reshape(D_s, 8, Rp_s)
 
             def body(tab, xs):
                 ids_d, cot_d = xs
-                oh = _oh_of(jnp.clip(ids_d, 0, None), S)      # (Rp, S)
+                oh = _oh_of(jnp.clip(ids_d, 0, None), S)     # (Rp, S)
                 c3 = jax.lax.dot_general(
                     oh, jnp.concatenate(_split3(cot_d[:7].T), axis=1),
                     (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)       # (S, 21)
-                return tab + (c3[:, 0:7] + c3[:, 7:14] + c3[:, 14:21]), None
+                    preferred_element_type=jnp.float32)      # (S, 21)
+                return (tab + (c3[:, 0:7] + c3[:, 7:14] + c3[:, 14:21]),
+                        None)
 
-            tab_slot, _ = jax.lax.scan(
-                body, jnp.zeros((S, 7), jnp.float32), (ids, cots))
+            tab_slot, _ = jax.lax.scan(body, tab_slot, (ids, cots))
+        return tab_slot, cotrays
+
+    @jax.custom_vjp
+    def render_diff(spheres: Spheres, cam: Camera):
+        scene = build_pallas_scene(spheres)
+        if phase1_depth:
+            colours, _ = render_pallas_record_twophase(
+                scene, cam, width, height, max_depth=max_depth,
+                phase1_depth=phase1_depth, tile=tile,
+                interpret=interpret, block=block)
+        else:
+            colours, _ = render_pallas_record(
+                scene, cam, width, height, max_depth=max_depth, tile=tile,
+                interpret=interpret, block=block)
+        return colours
+
+    def fwd(spheres, cam):
+        scene = build_pallas_scene(spheres)
+        if phase1_depth:
+            colours, aux = render_pallas_record_twophase(
+                scene, cam, width, height, max_depth=max_depth,
+                phase1_depth=phase1_depth, tile=tile,
+                interpret=interpret, block=block)
+            return colours, (spheres, cam, aux, scene.order)
+        colours, _, rec_raw, pay = render_pallas_record(
+            scene, cam, width, height, max_depth=max_depth, tile=tile,
+            interpret=interpret, with_pay=True, block=block)
+        return colours, (spheres, cam, (rec_raw, pay), scene.order)
+
+    def bwd(res, g):
+        spheres, cam, fwd_res, order = res
+        n = spheres.center.shape[0]
+        R = width * height
+        S = order.size
+        C = S // 128
+
+        if phase1_depth:
+            aux = fwd_res
+            nt = aux["rec1"].shape[0]
+            Rp = nt * tile
+            p = phase1_depth
+            gflat = _gflat(g, Rp)
+            key_sorted = aux["key_sorted"]
+            active_sorted = (key_sorted >> 30) == 0
+            idx_sorted = key_sorted & ((1 << 30) - 1)
+            # deep segment first: compacted rays, boundary state input
+            g2 = gflat[idx_sorted]
+            tab2 = None
+            segs = [(aux["rec2"], aux["pay2"], _rows16(g2, nt),
+                     aux["state16"], False, max_depth - p)]
+            tab2, (carry16,) = _segments_to_tab(segs, S, C, cam, interpret)
+            # 9-row carry back to primary ray order (dead lanes carry 0)
+            carr = (carry16[:, 0:9, :].transpose(0, 2, 1)
+                    .reshape(Rp, 9))
+            idx_eff = jnp.where(active_sorted, idx_sorted, Rp)
+            carry9 = jnp.zeros((Rp + 1, 9), jnp.float32).at[idx_eff].set(
+                carr)[:Rp]
+            # shallow segment: all rays, primary layout, carried seed
+            segs = [(aux["rec1"], aux["pay1"],
+                     _rows16(gflat, nt, carry9), None,
+                     block is not None, p)]
+            tab1, (cotray,) = _segments_to_tab(segs, S, C, cam, interpret)
+            tab_slot = tab1 + tab2
+        else:
+            rec_raw, pay = fwd_res
+            nt = rec_raw.shape[0]
+            Rp = nt * tile
+            gcot_rows = _rows16(_gflat(g, Rp), nt)
+            tab_slot, (cotray,) = _segments_to_tab(
+                [(rec_raw, pay, gcot_rows, None, block is not None,
+                  max_depth)], S, C, cam, interpret)
         ordv = order.reshape(-1)
         tgt = jnp.where(ordv >= 0, ordv, n)                   # pad -> dropped
         tab = jnp.zeros((n + 1, 7), jnp.float32).at[tgt].add(tab_slot)[:n]

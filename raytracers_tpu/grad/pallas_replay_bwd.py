@@ -100,8 +100,10 @@ def _quad(ox, oy, oz, dx, dy, dz, cx, cy, cz, rad):
 
 def _replay_bwd_kernel(params_ref, rec_ref, pay_ref, gcot_ref, *refs,
                        tile: int, max_depth: int, emit_fwd: bool,
-                       reduce_clusters: int, block_tiled: bool):
+                       reduce_clusters: int, block_tiled: bool,
+                       state_in: bool):
     refs = list(refs)
+    stin_ref = refs.pop(0) if state_in else None  # (1, 16, T) rows 0-8
     cot_ref = refs.pop(0)       # (1,D,8,T) cotsph OR (1,C*24,128) table
     cotray_ref = refs.pop(0)
     fwd_ref = refs.pop(0) if emit_fwd else None
@@ -112,48 +114,58 @@ def _replay_bwd_kernel(params_ref, rec_ref, pay_ref, gcot_ref, *refs,
     height = params_ref[17]
     inv_w = params_ref[18]
     inv_h = params_ref[19]
-
-    # ---- primary rays (same tile->pixel math as the megakernel) ----
-    pid = pl.program_id(0)
-    lid = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(jnp.float32)
-    if block_tiled:
-        bpr = params_ref[20]
-        bw = params_ref[21]
-        bh = params_ref[22]
-        inv_bpr = params_ref[23]
-        pidf = jnp.float32(pid)
-        tr = jnp.floor(pidf * inv_bpr)
-        tc = pidf - tr * bpr
-        ov = (tc >= bpr).astype(jnp.float32)
-        un = (tc < 0.0).astype(jnp.float32)
-        tc = tc - ov * bpr + un * bpr
-        tr = tr + ov - un
-        inv_bw = 1.0 / bw
-        by = jnp.floor(lid * inv_bw)
-        bx = lid - by * bw
-        ov = (bx >= bw).astype(jnp.float32)
-        un = (bx < 0.0).astype(jnp.float32)
-        bx = bx - ov * bw + un * bw
-        by = by + ov - un
-        i = tc * bw + bx
-        j = tr * bh + by
-    else:
-        ids = pid * T + lid
-        j = jnp.floor(ids * inv_w)
-        i = ids - j * width
-        ov = (i >= width).astype(jnp.float32)
-        un = (i < 0.0).astype(jnp.float32)
-        i = i - ov * width + un * width
-        j = j + ov - un
-    u = i * inv_w
-    v = (height - j) * inv_h
-    dx0 = params_ref[0] + u * params_ref[3] + v * params_ref[6] - params_ref[9]
-    dy0 = params_ref[1] + u * params_ref[4] + v * params_ref[7] - params_ref[10]
-    dz0 = params_ref[2] + u * params_ref[5] + v * params_ref[8] - params_ref[11]
-    ox0 = jnp.full((1, T), params_ref[9])
-    oy0 = jnp.full((1, T), params_ref[10])
-    oz0 = jnp.full((1, T), params_ref[11])
     one = jnp.ones((1, T), jnp.float32)
+
+    if state_in:
+        # ---- segment continuation: (o, d, light) at segment start ----
+        (ox0, oy0, oz0, dx0, dy0, dz0, l0r, l0g, l0b) = (
+            stin_ref[0, pl.ds(r, 1), :] for r in range(9))
+    else:
+        # ---- primary rays (same tile->pixel math as the megakernel) ----
+        pid = pl.program_id(0)
+        lid = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(
+            jnp.float32)
+        if block_tiled:
+            bpr = params_ref[20]
+            bw = params_ref[21]
+            bh = params_ref[22]
+            inv_bpr = params_ref[23]
+            pidf = jnp.float32(pid)
+            tr = jnp.floor(pidf * inv_bpr)
+            tc = pidf - tr * bpr
+            ov = (tc >= bpr).astype(jnp.float32)
+            un = (tc < 0.0).astype(jnp.float32)
+            tc = tc - ov * bpr + un * bpr
+            tr = tr + ov - un
+            inv_bw = 1.0 / bw
+            by = jnp.floor(lid * inv_bw)
+            bx = lid - by * bw
+            ov = (bx >= bw).astype(jnp.float32)
+            un = (bx < 0.0).astype(jnp.float32)
+            bx = bx - ov * bw + un * bw
+            by = by + ov - un
+            i = tc * bw + bx
+            j = tr * bh + by
+        else:
+            ids = pid * T + lid
+            j = jnp.floor(ids * inv_w)
+            i = ids - j * width
+            ov = (i >= width).astype(jnp.float32)
+            un = (i < 0.0).astype(jnp.float32)
+            i = i - ov * width + un * width
+            j = j + ov - un
+        u = i * inv_w
+        v = (height - j) * inv_h
+        dx0 = (params_ref[0] + u * params_ref[3] + v * params_ref[6]
+               - params_ref[9])
+        dy0 = (params_ref[1] + u * params_ref[4] + v * params_ref[7]
+               - params_ref[10])
+        dz0 = (params_ref[2] + u * params_ref[5] + v * params_ref[8]
+               - params_ref[11])
+        ox0 = jnp.full((1, T), params_ref[9])
+        oy0 = jnp.full((1, T), params_ref[10])
+        oz0 = jnp.full((1, T), params_ref[11])
+        l0r = l0g = l0b = one
 
     def rec_at(k):
         return rec_ref[0, pl.ds(k, 1), :]                     # (1, T) int32
@@ -216,21 +228,19 @@ def _replay_bwd_kernel(params_ref, rec_ref, pay_ref, gcot_ref, *refs,
         return (ox, oy, oz, dx, dy, dz, lr, lg, lb, rr, rg, rb)
 
     zero = jnp.zeros((1, T), jnp.float32)
-    fin = jax.lax.fori_loop(
-        0, D, fwd_step,
-        (ox0, oy0, oz0, dx0, dy0, dz0, one, one, one, zero, zero, zero))
-    if emit_fwd:
-        for row, val in enumerate((fin[9], fin[10], fin[11])):
-            fwd_ref[0, pl.ds(row, 1), :] = val
-        for row in range(3, 8):
-            fwd_ref[0, pl.ds(row, 1), :] = zero
-
     gr = gcot_ref[0, pl.ds(0, 1), :]
     gg = gcot_ref[0, pl.ds(1, 1), :]
     gb = gcot_ref[0, pl.ds(2, 1), :]
+    # zero outputs up front: in segmented (state_in) mode an all-dead
+    # tile (compaction packs dead rays into a contiguous suffix) skips
+    # both passes entirely and must still emit zero cotangents
     if reduce_clusters:
         cot_ref[0, :, :] = jnp.zeros((reduce_clusters * 24, 128),
                                      jnp.float32)
+    elif state_in:
+        cot_ref[0, :, :, :] = jnp.zeros((D, 8, T), jnp.float32)
+    if state_in:
+        cotray_ref[0, :, :] = jnp.zeros((16, T), jnp.float32)
 
     # ---- pass 2: deepest-first cotangent sweep ----
     def bwd_step(jj, carry):
@@ -404,26 +414,68 @@ def _replay_bwd_kernel(params_ref, rec_ref, pay_ref, gcot_ref, *refs,
                 sel(ndx, mdx, cdx), sel(ndy, mdy, cdy), sel(ndz, mdz, cdz),
                 sel(nlr, mlr, clr), sel(nlg, mlg, clg), sel(nlb, mlb, clb))
 
-    (cox, coy, coz, cdx, cdy, cdz, _, _, _) = jax.lax.fori_loop(
-        0, D, bwd_step,
-        (zero, zero, zero, zero, zero, zero, zero, zero, zero))
+    def _run_passes():
+        fin = jax.lax.fori_loop(
+            0, D, fwd_step,
+            (ox0, oy0, oz0, dx0, dy0, dz0, l0r, l0g, l0b,
+             zero, zero, zero))
+        if emit_fwd:
+            for row, val in enumerate((fin[9], fin[10], fin[11])):
+                fwd_ref[0, pl.ds(row, 1), :] = val
+            for row in range(3, 8):
+                fwd_ref[0, pl.ds(row, 1), :] = zero
+        # pass-2 carry seed: rows 3-11 of the cotangent input hold the
+        # INCOMING carry (zero for a full path; the deeper segment's
+        # boundary cotangents when this call is the shallow half of a
+        # compacted two-segment replay)
+        carry0 = tuple(gcot_ref[0, pl.ds(3 + r, 1), :] for r in range(9))
+        (cox, coy, coz, cdx, cdy, cdz, clr_f, clg_f,
+         clb_f) = jax.lax.fori_loop(0, D, bwd_step, carry0)
 
-    for row, val in enumerate((cox, coy, coz, cdx, cdy, cdz, zero, zero)):
-        cotray_ref[0, pl.ds(row, 1), :] = val
+        if state_in:
+            # emit the full 9-row boundary carry for the shallower segment
+            for row, val in enumerate((cox, coy, coz, cdx, cdy, cdz,
+                                       clr_f, clg_f, clb_f)):
+                cotray_ref[0, pl.ds(row, 1), :] = val
+        else:
+            for row, val in enumerate((cox, coy, coz, cdx, cdy, cdz,
+                                       zero, zero)):
+                cotray_ref[0, pl.ds(row, 1), :] = val
+
+    if state_in:
+        # all-dead tiles (contiguous after compaction) skip both passes;
+        # a ray inactive at step 0 of a continuation segment stays
+        # inactive, so the step-0 record row decides for the whole tile
+        rec0 = rec_ref[0, pl.ds(0, 1), :]
+        alive = jnp.sum((rec0 != -2).astype(jnp.float32)) > 0.0
+        pl.when(alive)(_run_passes)
+    else:
+        _run_passes()
 
 
 def replay_bwd_pallas(params, rec_raw, pay, gcot_rows, *,
                       tile: int, max_depth: int, interpret: bool = False,
                       emit_fwd: bool = False,
                       reduce_clusters: int | None = None,
-                      block_tiled: bool = False):
+                      block_tiled: bool = False,
+                      state_rows=None):
     """Run the backward-replay kernel.
 
     params: the megakernel SMEM params vector (camera + image geometry,
     scanline mode) — reuse the one built for the forward record render.
     rec_raw (num_tiles, D, T) int32, pay (num_tiles, D, 8, T) f32 from
     ``render_pallas_record(..., with_pay=True)``; gcot_rows
-    (num_tiles, 8, T) f32 with the image cotangent in rows 0..2.
+    (num_tiles, 16, T) f32 with the image cotangent in rows 0..2 and an
+    optional incoming boundary carry (cot o/d/light of the NEXT
+    segment's start state) in rows 3..11 — zeros for a whole-path
+    replay.
+
+    ``state_rows`` ((num_tiles, 16, T) f32, rows 0..8 = o/d/light at
+    segment start) switches the kernel to segment-continuation mode: the
+    primal chain replays from that state instead of regenerating primary
+    rays, and cotray becomes the 9-row boundary carry
+    (num_tiles, 16, T, rows 0..8) to feed the shallower segment's
+    gcot rows 3..11 — the hand-off for compacted two-segment replays.
 
     Returns (cotsph, cotray (num_tiles, 8, T) with d/d(origin),
     d/d(direction) of each primary ray in rows 0..5).  cotsph is
@@ -448,7 +500,8 @@ def replay_bwd_pallas(params, rec_raw, pay, gcot_rows, *,
     kernel = functools.partial(_replay_bwd_kernel, tile=T, max_depth=D,
                                emit_fwd=emit_fwd,
                                reduce_clusters=reduce_clusters or 0,
-                               block_tiled=block_tiled)
+                               block_tiled=block_tiled,
+                               state_in=state_rows is not None)
     if reduce_clusters:
         C = reduce_clusters
         out_specs = [vm((1, C * 24, 128), lambda i: (i, 0, 0))]
@@ -458,21 +511,28 @@ def replay_bwd_pallas(params, rec_raw, pay, gcot_rows, *,
         out_specs = [vm((1, D, 8, T), lambda i: (i, 0, 0, 0))]
         out_shape = [jax.ShapeDtypeStruct((num_tiles, D, 8, T),
                                           jnp.float32)]
-    out_specs += [vm((1, 8, T), lambda i: (i, 0, 0))]
-    out_shape += [jax.ShapeDtypeStruct((num_tiles, 8, T), jnp.float32)]
+    ray_rows = 16 if state_rows is not None else 8
+    out_specs += [vm((1, ray_rows, T), lambda i: (i, 0, 0))]
+    out_shape += [jax.ShapeDtypeStruct((num_tiles, ray_rows, T),
+                                       jnp.float32)]
     if emit_fwd:
         out_specs.append(vm((1, 8, T), lambda i: (i, 0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((num_tiles, 8, T),
                                               jnp.float32))
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                vm((1, D, T), lambda i: (i, 0, 0)),
+                vm((1, D, 8, T), lambda i: (i, 0, 0, 0)),
+                vm((1, 16, T), lambda i: (i, 0, 0))]
+    args = [params, rec_raw, pay, gcot_rows]
+    if state_rows is not None:
+        in_specs.append(vm((1, 16, T), lambda i: (i, 0, 0)))
+        args.append(state_rows)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  vm((1, D, T), lambda i: (i, 0, 0)),
-                  vm((1, D, 8, T), lambda i: (i, 0, 0, 0)),
-                  vm((1, 8, T), lambda i: (i, 0, 0))],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((D * 9, T), jnp.float32)],
         interpret=interpret,
-    )(params, rec_raw, pay, gcot_rows)
+    )(*args)

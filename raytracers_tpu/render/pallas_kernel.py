@@ -822,6 +822,102 @@ def render_pallas_record(scene: PallasScene, cam: Camera, width: int,
     return colours.reshape(height, width, 3), record[:, :R]
 
 
+def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
+                                  width: int, height: int,
+                                  max_depth: int = MAX_DEPTH,
+                                  phase1_depth: int = 6,
+                                  tile: int = DEFAULT_TILE,
+                                  far_root: bool = True,
+                                  interpret: bool = False,
+                                  cull: bool | None = None,
+                                  block: tuple | None = None):
+    """Record-mode forward with survivor compaction between phases
+    (render_pallas_twophase's structure, emitting the (rec, pay) records
+    each segment needs for the segmented Pallas backward replay).
+
+    Returns (colours (h, w, 3) f32, aux) where aux carries the two
+    segments' records in their raw tile layouts — phase 1 in the
+    original (scanline/block) ray order, phase 2 in compacted order —
+    plus the sorted boundary state and the compaction keys:
+
+      rec1 (nt, p, T), pay1 (nt, p, 8, T)        phase-1 record
+      rec2 (nt, D-p, T), pay2 (nt, D-p, 8, T)    phase-2 record (compacted)
+      state16 (nt, 16, T)                        rows 0-8: sorted (o,d,light)
+      key_sorted (Rp,) int32                     (dead<<30 | original ray id)
+
+    Per-ray arithmetic is identical to the single-phase record kernel,
+    so colours are bit-identical to ``render_pallas_record`` (and to the
+    plain renderer).
+    """
+    if cull is None:
+        cull = scene.n_clusters > 1
+    R = width * height
+    p = phase1_depth
+    if block is not None:
+        bh, bw = block
+        assert bh * bw == tile, (block, tile)
+        wp = -(-width // bw) * bw
+        hp = -(-height // bh) * bh
+        num_tiles = (wp // bw) * (hp // bh)
+        blk_params = jnp.asarray(
+            [wp // bw, bw, bh, 1.0 / (wp // bw)], jnp.float32)
+    else:
+        num_tiles = -(-R // tile)
+        blk_params = jnp.zeros((4,), jnp.float32)
+    Rp = num_tiles * tile
+    params = jnp.concatenate([
+        cam.llc, cam.horizontal, cam.vertical, cam.origin,
+        jnp.zeros((4,), jnp.float32),
+        jnp.asarray([width, height, 1.0 / width, 1.0 / height],
+                    jnp.float32),
+        blk_params,
+    ]).astype(jnp.float32)
+
+    out1 = _call_megakernel(scene, params, num_tiles, tile, p, far_root,
+                            cull, interpret, gen_rays=True,
+                            emit_state=True, block_tiled=block is not None,
+                            record=True, record_pay=True)
+    state, rec1, pay1 = out1[:13], out1[13], out1[14]
+    flat = [s.reshape(Rp) for s in state]
+    active = flat[12]
+    dead = (active <= 0.0).astype(jnp.int32)
+    key = (dead << 30) | jnp.arange(Rp, dtype=jnp.int32)
+    sorted_all = jax.lax.sort([key] + flat[:9], dimension=0, num_keys=1)
+    key_sorted = sorted_all[0]
+    active_sorted = (key_sorted >> 30) == 0
+    idx_sorted = key_sorted & ((1 << 30) - 1)
+    zeros = jnp.zeros((num_tiles, 1, tile), jnp.float32)
+    packed_state = ([s.reshape(num_tiles, 1, tile)
+                     for s in sorted_all[1:10]]
+                    + [zeros, zeros, zeros,
+                       active_sorted.astype(jnp.float32).reshape(
+                           num_tiles, 1, tile)])
+    out2 = _call_megakernel(scene, params, num_tiles, tile, max_depth - p,
+                            far_root, cull, interpret, gen_rays=False,
+                            emit_state=False, state_in=packed_state,
+                            emit_float=True, record=True, record_pay=True)
+    rr2, rg2, rb2, rec2, pay2 = out2
+    # float colours: phase-1 results are the base; survivors' phase-2
+    # colours scatter over them (same pattern as the packed twophase)
+    idx_eff = jnp.where(active_sorted, idx_sorted, Rp)
+    colflat = jnp.stack(
+        [base.at[idx_eff].set(ph2.reshape(Rp), mode="drop")
+         for base, ph2 in zip(flat[9:12], (rr2, rg2, rb2))], axis=-1)
+    if block is not None:
+        colours = (colflat.reshape(hp // bh, wp // bw, bh, bw, 3)
+                   .transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
+                   [:height, :width])
+    else:
+        colours = colflat[:R].reshape(height, width, 3)
+    state16 = jnp.concatenate(
+        [jnp.stack(sorted_all[1:10], axis=0)
+         .reshape(9, num_tiles, tile).transpose(1, 0, 2),
+         jnp.zeros((num_tiles, 7, tile), jnp.float32)], axis=1)
+    aux = dict(rec1=rec1, pay1=pay1, rec2=rec2, pay2=pay2,
+               state16=state16, key_sorted=key_sorted)
+    return colours, aux
+
+
 def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                      cull, interpret, gen_rays, emit_state, state_in=None,
                      block_tiled=False, emit_float=False, record=False,

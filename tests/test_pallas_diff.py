@@ -174,7 +174,7 @@ def test_pallas_bwd_replay_bitexact():
         jnp.asarray([W, H, 1.0 / W, 1.0 / H], jnp.float32),
         jnp.zeros((4,), jnp.float32)]).astype(jnp.float32)
     nt = rec_raw.shape[0]
-    gcot = jnp.zeros((nt, 8, tile), jnp.float32)
+    gcot = jnp.zeros((nt, 16, tile), jnp.float32)
     _, _, fwdcol = replay_bwd_pallas(params, rec_raw, pay, gcot, tile=tile,
                                      max_depth=50, interpret=True,
                                      emit_fwd=True)
@@ -182,6 +182,40 @@ def test_pallas_bwd_replay_bitexact():
     rep = np.asarray(fwdcol[:, 0:3, :].transpose(0, 2, 1)
                      .reshape(-1, 3)[:R].reshape(H, W, 3))
     np.testing.assert_array_equal(rep, np.asarray(colours))
+
+
+def test_pallas_bwd_twophase_segmented():
+    """Compacted two-segment record + backward (phase1_depth) must match
+    the single-segment Pallas path: forward bit-identical (same per-ray
+    arithmetic, survivors compacted by one stable sort), gradients equal
+    up to f32 sum ordering (the 9-row cotangent carry at the depth-p cut
+    is exact chain rule)."""
+    spheres, cam = _setup()
+    f1 = make_render_pallas_diff(W, H, max_depth=10, tile=256,
+                                 interpret=True)
+    f2 = make_render_pallas_diff(W, H, max_depth=10, tile=256,
+                                 interpret=True, phase1_depth=3)
+    f3 = make_render_pallas_diff(W, H, max_depth=10, tile=256,
+                                 interpret=True, phase1_depth=3,
+                                 block=(16, 16))
+    i1 = np.asarray(f1(spheres, cam))
+    np.testing.assert_array_equal(i1, np.asarray(f2(spheres, cam)))
+    np.testing.assert_array_equal(i1, np.asarray(f3(spheres, cam)))
+
+    def loss(f):
+        def L(s, c):
+            img = f(s, c)
+            w = jnp.sin(jnp.arange(img.size,
+                                   dtype=jnp.float32)).reshape(img.shape)
+            return jnp.sum(img * w)
+        return L
+
+    g1 = jax.grad(loss(f1), argnums=(0, 1))(spheres, cam)
+    for f in (f2, f3):
+        gs = jax.grad(loss(f), argnums=(0, 1))(spheres, cam)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(gs)):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.abs(a - b).max() <= 1e-5 * (np.abs(a).max() + 1e-8)
 
 
 def test_pallas_bwd_matches_xla_shallow():
