@@ -25,6 +25,16 @@ def log(msg):
 def main():
     import jax
 
+    # persistent compile cache: megakernel variants take minutes through
+    # the remote-compile service; cache hits across bench runs are ~1 s
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        log(f"compile cache unavailable: {e}")
+
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     log(f"bench: platform={platform} devices={jax.devices()}")
@@ -144,9 +154,10 @@ def main():
             cam = mk_camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov,
                             W / H)
             # measured-best fwd+bwd config on v5e (tools/fwdbwd_check.py
-            # sweep): fused Pallas backward, 2048-ray (32, 64) block tiles
+            # sweep): fused Pallas backward, 2048-ray (32, 64) block
+            # tiles, survivor compaction at depth 6 in BOTH directions
             f = make_render_pallas_diff(W, H, max_depth=50, tile=2048,
-                                        block=(32, 64))
+                                        block=(32, 64), phase1_depth=6)
 
             def loss(sph, cam):
                 img = f(sph, cam)

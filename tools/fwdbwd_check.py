@@ -17,6 +17,9 @@ def main():
     ap.add_argument("--backward", default="pallas",
                     choices=["pallas", "xla"])
     ap.add_argument("--tile", type=int, default=None)
+    ap.add_argument("--block", type=int, nargs=2, default=None)
+    ap.add_argument("--phase1", type=int, default=None,
+                    help="survivor-compaction depth (segmented replay)")
     args = ap.parse_args()
 
     import jax
@@ -32,6 +35,10 @@ def main():
     kw = {}
     if args.tile:
         kw["tile"] = args.tile
+    if args.block:
+        kw["block"] = tuple(args.block)
+    if args.phase1:
+        kw["phase1_depth"] = args.phase1
     f = make_render_pallas_diff(W, H, max_depth=args.depth,
                                 bwd_chunks=args.chunks,
                                 backward=args.backward, **kw)
