@@ -47,7 +47,12 @@ def prepare_scene(scene: Scene, height: int, width: int,
         bvh=build_bvh(scene.spheres, leaf_size=leaf_size) if with_bvh
         else None,
         cam=cam,
-        pallas=build_pallas_scene(scene.spheres) if with_pallas else None)
+        # front-to-back cluster order w.r.t. the camera: makes the
+        # occlusion gate prune far clusters on primary bounces (see
+        # build_pallas_scene docstring; irreg measured win)
+        pallas=build_pallas_scene(scene.spheres,
+                                  sort_origin=scene.look_from)
+        if with_pallas else None)
 
 
 def _oracle(prepared: PreparedScene, mode: str):

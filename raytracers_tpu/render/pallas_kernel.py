@@ -108,8 +108,22 @@ class PallasScene(NamedTuple):
         return self.sphT.shape[0]
 
 
-def build_pallas_scene(sph: Spheres) -> PallasScene:
-    """Morton-sort + cluster the scene into the packed kernel layout."""
+def build_pallas_scene(sph: Spheres,
+                       sort_origin=None) -> PallasScene:
+    """Morton-sort + cluster the scene into the packed kernel layout.
+
+    ``sort_origin`` (optional (3,) point, normally the camera origin)
+    reorders the clusters front-to-back by AABB-centre distance from that
+    point.  The visit sweep walks clusters in array order, and the
+    occlusion gate (active for C > 16) prunes clusters whose AABB lies
+    entirely behind the current best hit — so a front-to-back order makes
+    the gate maximally effective for primary rays, the TPU analogue of the
+    reference's ordered BVH descent with a shrinking t_max
+    (rust/src/lib.rs:350-356).  Closest-hit output is order-independent
+    except within one 2^-16 key-floor tie bucket.  Applied only for
+    single-block scenes (16 < C <= 128): at CB > 1 a distance sort would
+    scramble the Morton locality the super-block unions rely on.
+    """
     n = sph.center.shape[0]
     if n <= LANE:
         # single cluster: no hierarchy to build; pad to the lane width
@@ -145,8 +159,19 @@ def build_pallas_scene(sph: Spheres) -> PallasScene:
     CB = -(-C // LANE)
     s = bvh.spheres
 
+    leaf_min, leaf_max = bvh.leaf_min, bvh.leaf_max
+    order2d = bvh.order.reshape(C, LANE)
+    perm = None
+    if sort_origin is not None and 16 < C <= LANE:
+        o = jnp.asarray(sort_origin, jnp.float32)
+        ctr = 0.5 * (leaf_min + leaf_max)
+        perm = jnp.argsort(jnp.sum((ctr - o) ** 2, axis=1))
+        leaf_min, leaf_max = leaf_min[perm], leaf_max[perm]
+        order2d = order2d[perm]
+
     def field(x):
-        return x.reshape(C, LANE)
+        x = x.reshape(C, LANE)
+        return x if perm is None else x[perm]
 
     sph8 = jnp.stack([
         field(s.center[:, 0]), field(s.center[:, 1]), field(s.center[:, 2]),
@@ -168,12 +193,12 @@ def build_pallas_scene(sph: Spheres) -> PallasScene:
         return jnp.pad(x, (0, pad), constant_values=fill)
 
     aabbT = jnp.stack([
-        pad_clusters(bvh.leaf_min[:, 0], np.inf),
-        pad_clusters(bvh.leaf_min[:, 1], np.inf),
-        pad_clusters(bvh.leaf_min[:, 2], np.inf),
-        pad_clusters(bvh.leaf_max[:, 0], -np.inf),
-        pad_clusters(bvh.leaf_max[:, 1], -np.inf),
-        pad_clusters(bvh.leaf_max[:, 2], -np.inf),
+        pad_clusters(leaf_min[:, 0], np.inf),
+        pad_clusters(leaf_min[:, 1], np.inf),
+        pad_clusters(leaf_min[:, 2], np.inf),
+        pad_clusters(leaf_max[:, 0], -np.inf),
+        pad_clusters(leaf_max[:, 1], -np.inf),
+        pad_clusters(leaf_max[:, 2], -np.inf),
         jnp.zeros((CB * CR,), jnp.float32),
         jnp.zeros((CB * CR,), jnp.float32),
     ], axis=1).reshape(CB, CR, 8)                         # (CB, CR, 8)
@@ -193,7 +218,7 @@ def build_pallas_scene(sph: Spheres) -> PallasScene:
     ], axis=1)[None, :, :]                                # (1, SBR, 8)
 
     return PallasScene(sphT=sphT, sph8=sph8, aabbT=aabbT, superT=superT,
-                       order=bvh.order.reshape(C, LANE))
+                       order=order2d)
 
 
 N_STATE = 13   # ox oy oz dx dy dz lr lg lb rr rg rb active

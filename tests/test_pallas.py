@@ -27,6 +27,27 @@ def test_pallas_depth1_exact(scene_name):
     np.testing.assert_array_equal(img, ref)
 
 
+def test_pallas_front_to_back_order_exact():
+    """Front-to-back cluster ordering (build_pallas_scene sort_origin, the
+    api.prepare_scene default) must not change closest-hit results: depth-1
+    renders stay bit-exact vs the brute oracle for irreg (C=79, the config
+    the sort activates for)."""
+    sc = scenes.by_name("irreg")
+    w = h = 64
+    ps = build_pallas_scene(sc.spheres, sort_origin=sc.look_from)
+    cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, w / h)
+    img = np.asarray(render_pallas(ps, cam, w, h, max_depth=1, tile=256,
+                                   interpret=True))
+    prep = prepare_scene(sc, h, w, leaf_size=8, with_pallas=True)
+    ref = np.asarray(render(prep, h, w, mode="brute", max_depth=1,
+                            chunk=2048))
+    np.testing.assert_array_equal(img, ref)
+    # the api path builds the sorted layout: same pixels through render()
+    api_img = np.asarray(render(prep, h, w, mode="pallas", max_depth=1,
+                                interpret=True))
+    np.testing.assert_array_equal(api_img, ref)
+
+
 def test_pallas_full_depth_structural():
     img, ref = _pair("rgbbox", 64, 64, 50)
     a = pixel_to_rgb(img).astype(np.int32)

@@ -30,10 +30,16 @@ def main():
         print("no TPU attached; nothing to check", file=sys.stderr)
         return 0
     failures = 0
-    for name, depth in [("rgbbox", 1), ("rgbbox", 50), ("irreg", 50)]:
+    # (scene, depth, front-to-back sort): the sorted layout is the
+    # api.prepare_scene default for 16 < C <= 128 (irreg)
+    for name, depth, f2b in [("rgbbox", 1, False), ("rgbbox", 50, False),
+                             ("irreg", 50, False), ("irreg", 50, True)]:
         sc = scenes.by_name(name)
-        ps = jax.block_until_ready(jax.jit(pk.build_pallas_scene)(
-            sc.spheres))
+        origin = sc.look_from if f2b else None
+        ps = jax.block_until_ready(jax.jit(
+            lambda s, o=origin: pk.build_pallas_scene(s, sort_origin=o))(
+                sc.spheres))
+        name = name + ("+f2b" if f2b else "")
         cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
 
         for label, kw in [("single", dict(block=(32, 16), tile=512))]:
