@@ -69,11 +69,15 @@ def _oracle(prepared: PreparedScene, mode: str):
 
 def render(prepared: PreparedScene, height: int, width: int,
            mode: str = "bvh", max_depth: int = MAX_DEPTH,
-           chunk: int | None = None, interpret: bool = False):
+           chunk: int | None = None, interpret: bool = False,
+           phase1_depth: int = 6):
     """Render to the packed int32 image (h, w) (futhark/ray.fut:246-247).
 
     mode="pallas" uses the fused TPU megakernel (requires prepare_scene
-    with_pallas=True); other modes use the XLA tracer.
+    with_pallas=True); other modes use the XLA tracer.  ``phase1_depth``
+    tunes the survivor-compaction boundary of deep pallas renders
+    (measured: 6 best for rgbbox at 93 ms vs 103 at 4; shallow-tile
+    scenes like irreg gain ~2 ms at 3-4 — tools/sweep_irreg_p1.py).
     """
     if mode == "pallas":
         from .pallas_kernel import render_pallas, render_pallas_twophase
@@ -88,8 +92,8 @@ def render(prepared: PreparedScene, height: int, width: int,
         if max_depth >= 16:
             return render_pallas_twophase(
                 prepared.pallas, prepared.cam, width, height,
-                max_depth=max_depth, phase1_depth=6, interpret=interpret,
-                block=(32, 16))
+                max_depth=max_depth, phase1_depth=phase1_depth,
+                interpret=interpret, block=(32, 16))
         return render_pallas(prepared.pallas, prepared.cam, width, height,
                              max_depth=max_depth, interpret=interpret,
                              block=(32, 16))

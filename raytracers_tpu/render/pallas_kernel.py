@@ -120,9 +120,14 @@ def build_pallas_scene(sph: Spheres,
     the gate maximally effective for primary rays, the TPU analogue of the
     reference's ordered BVH descent with a shrinking t_max
     (rust/src/lib.rs:350-356).  Closest-hit output is order-independent
-    except within one 2^-16 key-floor tie bucket.  Applied only for
-    single-block scenes (16 < C <= 128): at CB > 1 a distance sort would
-    scramble the Morton locality the super-block unions rely on.
+    except within one 2^-16 key-floor tie bucket.  The sort is applied
+    WITHIN each 128-cluster block (for C <= 128 that is a global sort):
+    block membership — and hence the super-block union AABBs and the
+    Morton locality they rely on — is untouched, cluster padding stays at
+    the global tail, and the best-t carried across blocks still prunes
+    later blocks' clusters.  (Reordering whole blocks would move the
+    partial block off the tail, breaking the padding-flag zeroing and the
+    static per-block visit counts.)
     """
     n = sph.center.shape[0]
     if n <= LANE:
@@ -162,10 +167,15 @@ def build_pallas_scene(sph: Spheres,
     leaf_min, leaf_max = bvh.leaf_min, bvh.leaf_max
     order2d = bvh.order.reshape(C, LANE)
     perm = None
-    if sort_origin is not None and 16 < C <= LANE:
+    if sort_origin is not None and C > 16:
         o = jnp.asarray(sort_origin, jnp.float32)
         ctr = 0.5 * (leaf_min + leaf_max)
-        perm = jnp.argsort(jnp.sum((ctr - o) ** 2, axis=1))
+        dist = jnp.sum((ctr - o) ** 2, axis=1)
+        # per-128-cluster-block argsort (block size matches the sweep's
+        # CR=LANE rows at C > 128; one global block otherwise)
+        segs = [b0 + jnp.argsort(dist[b0:min(b0 + LANE, C)])
+                for b0 in range(0, C, LANE)]
+        perm = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
         leaf_min, leaf_max = leaf_min[perm], leaf_max[perm]
         order2d = order2d[perm]
 
@@ -923,11 +933,16 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
                             emit_float=True, record=True, record_pay=True)
     rr2, rg2, rb2, rec2, pay2 = out2
     # float colours: phase-1 results are the base; survivors' phase-2
-    # colours scatter over them (same pattern as the packed twophase)
-    idx_eff = jnp.where(active_sorted, idx_sorted, Rp)
+    # colours ride back on a sort by original ray id (3 scatters cost
+    # 18.2 ms on v5e, the 5-operand unpermute sort 5.9 —
+    # tools/microbench_unpermute.py)
+    _, act_b, r_b, g_b, b_b = jax.lax.sort(
+        [idx_sorted, active_sorted.astype(jnp.int32)]
+        + [x.reshape(Rp) for x in (rr2, rg2, rb2)],
+        dimension=0, num_keys=1)
     colflat = jnp.stack(
-        [base.at[idx_eff].set(ph2.reshape(Rp), mode="drop")
-         for base, ph2 in zip(flat[9:12], (rr2, rg2, rb2))], axis=-1)
+        [jnp.where(act_b == 1, ph2, base)
+         for base, ph2 in zip(flat[9:12], (r_b, g_b, b_b))], axis=-1)
     if block is not None:
         colours = (colflat.reshape(hp // bh, wp // bw, bh, bw, 3)
                    .transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
@@ -965,7 +980,7 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                                hbm_spheres=hbm_spheres)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     SBR = scene.superT.shape[1]
-    sph_space = (pl.BlockSpec(memory_space=pltpu.ANY) if hbm_spheres
+    sph_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm_spheres
                  else None)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 sph_space or vm((C, LANE, 8), lambda i: (0, 0, 0)),
@@ -1101,12 +1116,18 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
                            max_depth - phase1_depth, far_root, cull,
                            interpret, gen_rays=False, emit_state=False,
                            state_in=packed_state)
-    # scatter only the SURVIVORS' pixels over the base image (dead-sorted
-    # lanes re-pack black in phase 2; dropping them preserves phase-1
-    # colours bit-for-bit)
+    # hand survivors' pixels back to ray order by RE-SORTING on the
+    # unique original ray id instead of scattering: a 1M-row scatter
+    # costs 8.7 ms on v5e where the 3-operand sort is 5.6
+    # (tools/microbench_unpermute.py) — same lesson as the backward
+    # replay's carry hand-off.  Dead-sorted lanes re-pack black in
+    # phase 2; taking base_pix for them preserves phase-1 colours
+    # bit-for-bit.
     out_sorted = out.reshape(Rp)
-    idx_eff = jnp.where(active_sorted, idx_sorted, Rp)
-    unsorted = base_pix.at[idx_eff].set(out_sorted, mode="drop")
+    _, act_b, out_b = jax.lax.sort(
+        [idx_sorted, active_sorted.astype(jnp.int32), out_sorted],
+        dimension=0, num_keys=1)
+    unsorted = jnp.where(act_b == 1, out_b, base_pix)
     if block is not None:
         img = (unsorted.reshape(hp // bh, wp // bw, bh, bw)
                .transpose(0, 2, 1, 3).reshape(hp, wp))

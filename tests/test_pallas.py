@@ -132,6 +132,28 @@ def test_pallas_scene_scale_100k():
     assert (img != ref).mean() < 0.05
 
 
+def test_pallas_front_to_back_multi_block_exact():
+    """The within-block front-to-back sort at CB > 1 must leave the
+    culled render identical to the unsorted layout (order-independent
+    closest hit; block unions untouched)."""
+    from raytracers_tpu.scenes import random_spheres
+    sph = random_spheres(100_000, seed=11, extent=400.0)
+    origin = (0., 0., 520.)
+    ps = build_pallas_scene(sph)
+    pss = build_pallas_scene(sph, sort_origin=origin)
+    assert pss.aabbT.shape[0] > 1
+    # the sort is a pure permutation of cluster rows (same sphere ids,
+    # same -1 padding lanes)
+    np.testing.assert_array_equal(np.sort(np.asarray(ps.order), axis=None),
+                                  np.sort(np.asarray(pss.order), axis=None))
+    cam = camera(origin, (0., 0., 0.), (0., 1., 0.), 60.0, 1.0)
+    a = np.asarray(render_pallas(ps, cam, 16, 16, max_depth=2,
+                                 interpret=True, cull=True))
+    b = np.asarray(render_pallas(pss, cam, 16, 16, max_depth=2,
+                                 interpret=True, cull=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pallas_hbm_streamed_dynamic_sweep_200k():
     """>1024-cluster scenes: sphere tables live in HBM (per-visit DMA)
     and the visit sweep is the fully dynamic block->group->cluster cond
