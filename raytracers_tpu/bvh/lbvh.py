@@ -127,6 +127,52 @@ def _skip_links(tree: RadixTree, sweeps):
     return miss
 
 
+class Clusters(NamedTuple):
+    """Morton-sorted leaf clustering WITHOUT the Karras tree.
+
+    The Pallas megakernel's two-level culling needs only the clustered
+    sphere layout and per-cluster AABBs — not the radix tree, refit or
+    skip links (whose data-dependent while_loops dominate small-scene
+    build time).  This is the megakernel's ``prepare_scene`` analogue of
+    the reference's BVH phase (futhark/ray.fut:241-244); the full tree
+    (``build_bvh``) remains the deep-traversal structure.
+    """
+    spheres: Spheres            # (M,…) Morton-sorted, radius-0 padded
+    order: jnp.ndarray          # (M,) original sphere index, -1 padding
+    leaf_min: jnp.ndarray       # (C, 3) cluster AABBs
+    leaf_max: jnp.ndarray       # (C, 3)
+
+    @property
+    def n_leaves(self) -> int:
+        return self.leaf_min.shape[0]
+
+
+def build_clusters(spheres: Spheres, leaf_size: int = 1) -> Clusters:
+    """Morton sort + cluster + leaf AABBs only (no tree).  ~10 XLA ops:
+    the whole build is one sort plus gathers and reshaped min/max."""
+    n = spheres.center.shape[0]
+    if n < 2:
+        raise ValueError("build_clusters requires at least 2 spheres")
+    n_leaves = -(-n // leaf_size)
+    if n_leaves < 2:
+        leaf_size = -(-n // 2)
+        n_leaves = -(-n // leaf_size)
+    m = n_leaves * leaf_size
+
+    boxes = sphere_aabb(spheres)
+    codes = morton_codes(centre(boxes))
+    perm = jnp.argsort(codes, stable=True).astype(jnp.int32)
+    sorted_spheres = Spheres(spheres.center[perm], spheres.radius[perm],
+                             spheres.color[perm])
+    sorted_spheres, order = _pad_spheres(sorted_spheres, perm, m)
+
+    sb = sphere_aabb(sorted_spheres)
+    leaf_min = sb.min.reshape(n_leaves, leaf_size, 3).min(axis=1)
+    leaf_max = sb.max.reshape(n_leaves, leaf_size, 3).max(axis=1)
+    return Clusters(spheres=sorted_spheres, order=order,
+                    leaf_min=leaf_min, leaf_max=leaf_max)
+
+
 def build_bvh(spheres: Spheres, leaf_size: int = 1) -> Bvh:
     """Build the LBVH.  ``leaf_size`` is a static Python int."""
     n = spheres.center.shape[0]

@@ -59,7 +59,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..bvh.lbvh import build_bvh
+from ..bvh.lbvh import build_clusters
 from ..geometry import (MAX_DEPTH, SCENE_EPSILON, T_MAX, T_MIN, Camera,
                         Spheres)
 
@@ -159,7 +159,10 @@ def build_pallas_scene(sph: Spheres,
         bvh.leaf_min = leaf_min
         bvh.leaf_max = leaf_max
     else:
-        bvh = build_bvh(sph, leaf_size=LANE)
+        # clusters-only build: the megakernel never reads the Karras
+        # tree, so skip it (rgbbox build 2.0 -> sub-ms; the tree's
+        # dynamic-trip-count refit/skip sweeps were the entire cost)
+        bvh = build_clusters(sph, leaf_size=LANE)
     C = bvh.n_leaves
     CB = -(-C // LANE)
     s = bvh.spheres

@@ -132,3 +132,25 @@ def test_duplicate_position_spheres():
     d = jnp.asarray([[0., 0., 1.]] * 4)
     ti, tt = closest_hit_bvh(bvh, o, d)
     np.testing.assert_allclose(np.asarray(tt), 9.5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("scene_name,leaf_size",
+                         [("rgbbox", 128), ("irreg", 128), ("irreg", 32)])
+def test_clusters_match_bvh_fields(scene_name, leaf_size):
+    """build_clusters (the megakernel's tree-free prepare path) must
+    reproduce build_bvh's clustering bit-for-bit: same Morton sort, same
+    padding, same leaf AABBs — only the Karras tree is skipped."""
+    from raytracers_tpu.bvh.lbvh import build_clusters
+
+    sph = scenes.by_name(scene_name).spheres
+    full = build_bvh(sph, leaf_size=leaf_size)
+    fast = build_clusters(sph, leaf_size=leaf_size)
+    assert fast.n_leaves == full.n_leaves
+    assert np.array_equal(np.asarray(fast.order), np.asarray(full.order))
+    assert np.array_equal(np.asarray(fast.leaf_min),
+                          np.asarray(full.leaf_min))
+    assert np.array_equal(np.asarray(fast.leaf_max),
+                          np.asarray(full.leaf_max))
+    for f in ("center", "radius", "color"):
+        assert np.array_equal(np.asarray(getattr(fast.spheres, f)),
+                              np.asarray(getattr(full.spheres, f)))
