@@ -59,7 +59,10 @@ def main():
             center=sph.center + jnp.float32(k) * 1e-30))
 
     results = {}
-    for name in ["rgbbox", "irreg"]:
+    # plane = irreg's structure at 100k spheres (scene-scale path: HBM
+    # streaming + dynamic sweep); CPU fallback skips it (minutes)
+    scene_names = ["rgbbox", "irreg"] + (["plane"] if on_tpu else [])
+    for name in scene_names:
         sc = scenes.by_name(name)
         prep_fn = jax.jit(lambda s, n=name: prepare_scene(
             s, H, W, leaf_size=8, with_pallas=(mode == "pallas")))

@@ -88,12 +88,17 @@ def render(prepared: PreparedScene, height: int, width: int,
         # deep renders use survivor compaction: a (32,16) tile's max bounce
         # depth is ~21 while the mean ray needs ~4, so packing the ~15% of
         # rays still alive after 6 bounces into dense tiles nearly halves
-        # the wall time (rgbbox 164 -> 93 ms, irreg 77 -> 73 ms measured)
+        # the wall time (rgbbox 164 -> 93 ms, irreg 77 -> 73 ms measured).
+        # tile=2048/(64,32) beats 512/(32,16) by ~12% on both scenes
+        # (phase 1 is depth-capped, so bigger tiles amortise per-tile
+        # fixed costs with bounded inflation; tools/ab_twophase_cfg.py:
+        # rgbbox 87.5 -> 75.6 ms, irreg 58.2 -> 50.2 ms; 4096 loses on
+        # irreg).
         if max_depth >= 16:
             return render_pallas_twophase(
                 prepared.pallas, prepared.cam, width, height,
                 max_depth=max_depth, phase1_depth=phase1_depth,
-                interpret=interpret, block=(32, 16))
+                interpret=interpret, tile=2048, block=(64, 32))
         return render_pallas(prepared.pallas, prepared.cam, width, height,
                              max_depth=max_depth, interpret=interpret,
                              block=(32, 16))

@@ -1041,7 +1041,8 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
                            far_root: bool = True, interpret: bool = False,
                            cull: bool | None = None,
                            block: tuple | None = None,
-                           row0=0.0, total_height: int | None = None):
+                           row0=0.0, total_height: int | None = None,
+                           tile2: int | None = None):
     """Two-phase render with survivor compaction between phases.
 
     A tile's bounce loop runs until its DEEPEST ray dies; with measured
@@ -1058,6 +1059,12 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
 
     ``block=(bh,bw)``: 2-D block tiles for phase 1's ray generation
     (tighter cluster unions); phase 2 is position-independent.
+
+    ``tile2``: phase-2 tile size (default: same as ``tile``).  The two
+    phases want opposite grains — phase 1's bounce count is capped at
+    ``phase1_depth`` so big tiles amortise per-tile fixed costs for
+    free, while phase 2 runs each tile to its deepest survivor, so
+    small tiles limit deep-tail bounce inflation.
     """
     if cull is None:
         cull = scene.n_clusters > 1
@@ -1110,12 +1117,15 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     key_sorted = sorted_all[0]
     active_sorted = (key_sorted >> 30) == 0
     idx_sorted = key_sorted & ((1 << 30) - 1)
-    zeros = jnp.zeros((num_tiles, 1, tile), jnp.float32)
-    packed_state = ([s.reshape(num_tiles, 1, tile) for s in sorted_all[1:10]]
+    t2 = tile if tile2 is None else tile2
+    assert Rp % t2 == 0, (Rp, t2)
+    nt2 = Rp // t2
+    zeros = jnp.zeros((nt2, 1, t2), jnp.float32)
+    packed_state = ([s.reshape(nt2, 1, t2) for s in sorted_all[1:10]]
                     + [zeros, zeros, zeros,
                        active_sorted.astype(jnp.float32).reshape(
-                           num_tiles, 1, tile)])
-    out = _call_megakernel(scene, params, num_tiles, tile,
+                           nt2, 1, t2)])
+    out = _call_megakernel(scene, params, nt2, t2,
                            max_depth - phase1_depth, far_root, cull,
                            interpret, gen_rays=False, emit_state=False,
                            state_in=packed_state)
