@@ -70,35 +70,47 @@ def _oracle(prepared: PreparedScene, mode: str):
 def render(prepared: PreparedScene, height: int, width: int,
            mode: str = "bvh", max_depth: int = MAX_DEPTH,
            chunk: int | None = None, interpret: bool = False,
-           phase1_depth: int = 6):
+           phase1_depth: int | None = None,
+           schedule: tuple | None = None):
     """Render to the packed int32 image (h, w) (futhark/ray.fut:246-247).
 
     mode="pallas" uses the fused TPU megakernel (requires prepare_scene
-    with_pallas=True); other modes use the XLA tracer.  ``phase1_depth``
-    tunes the survivor-compaction boundary of deep pallas renders
-    (measured: 6 best for rgbbox at 93 ms vs 103 at 4; shallow-tile
-    scenes like irreg gain ~2 ms at 3-4 — tools/sweep_irreg_p1.py).
+    with_pallas=True); other modes use the XLA tracer.  ``schedule``
+    (or legacy single-boundary ``phase1_depth``) overrides the measured
+    per-scene-class default compaction schedule of deep pallas renders.
     """
     if mode == "pallas":
         from .pallas_kernel import render_pallas, render_pallas_twophase
         if prepared.pallas is None:
             raise ValueError("prepare_scene(..., with_pallas=True) required "
                              "for mode='pallas'")
-        # 2-D block tiles measured best (1.7x on irreg, neutral on rgbbox);
-        # deep renders use survivor compaction: a (32,16) tile's max bounce
-        # depth is ~21 while the mean ray needs ~4, so packing the ~15% of
-        # rays still alive after 6 bounces into dense tiles nearly halves
-        # the wall time (rgbbox 164 -> 93 ms, irreg 77 -> 73 ms measured).
-        # tile=2048/(64,32) beats 512/(32,16) by ~12% on both scenes
-        # (phase 1 is depth-capped, so bigger tiles amortise per-tile
-        # fixed costs with bounded inflation; tools/ab_twophase_cfg.py:
-        # rgbbox 87.5 -> 75.6 ms, irreg 58.2 -> 50.2 ms; 4096 loses on
-        # irreg).
-        if max_depth >= 16:
+        # Measured-best configs by scene class (tools/sweep_schedule.py,
+        # tools/ab_twophase_cfg.py, v5e 1000x1000 d50):
+        # * C <= 16 (rgbbox-class, dense sweeps): tile 2048/(64,32),
+        #   schedule (6, 8) — packed phase-2 tiles averaged ~32 further
+        #   bounces (mirror traps); the second 4.3 ms boundary caps that
+        #   (75.1 -> 61.5 ms).
+        # * 16 < C <= 128 (irreg-class, culled sweeps): same tiles,
+        #   schedule (3, 8) (50.9 -> 48.1 ms: shallow mean depth, small
+        #   deep tail).
+        # * C > 128 (scene-scale, multi-block sweeps): tile 512/(32,16),
+        #   single boundary (6,) — tile 2048 crashes the Mosaic compiler
+        #   on the multi-block path and big scenes are visit-bound anyway.
+        C = prepared.pallas.n_clusters
+        if C > 128:
+            tile, block = 512, (32, 16)
+            default_sched = (6,)
+        else:
+            tile, block = 2048, (64, 32)
+            default_sched = (6, 8) if C <= 16 else (3, 8)
+        if schedule is None:
+            schedule = ((phase1_depth,) if phase1_depth is not None
+                        else default_sched)
+        if max_depth >= 16 and sum(schedule) < max_depth:
             return render_pallas_twophase(
                 prepared.pallas, prepared.cam, width, height,
-                max_depth=max_depth, phase1_depth=phase1_depth,
-                interpret=interpret, tile=2048, block=(64, 32))
+                max_depth=max_depth, schedule=schedule,
+                interpret=interpret, tile=tile, block=block)
         return render_pallas(prepared.pallas, prepared.cam, width, height,
                              max_depth=max_depth, interpret=interpret,
                              block=(32, 16))

@@ -256,7 +256,8 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 far_root: bool, cull: bool, gen_rays: bool = True,
                 emit_state: bool = False, block_tiled: bool = False,
                 emit_float: bool = False, record: bool = False,
-                record_pay: bool = False, hbm_spheres: bool = False):
+                record_pay: bool = False, hbm_spheres: bool = False,
+                lane_groups: int = 1):
     T = tile
     C = n_clusters
     CB = aabb_ref.shape[0]
@@ -347,9 +348,21 @@ def _megakernel(params_ref,               # SMEM (24,) f32
     key_mask = jnp.int32(_KEY_MASK)
     krun_init = jnp.int32(_HIT_TH | (LANE - 1))
 
+    NG = lane_groups
+    G = T // NG
+    ROWS = CB * CR            # flag rows per lane group
+
     def closest_hit(ox, oy, oz, dx, dy, dz, active):
         """Culled packed-key search.  Returns (krun (1,T) int32,
-        pay (8,T) f32 with the winner's fields)."""
+        pay (8,T) f32 with the winner's fields).
+
+        With ``lane_groups`` > 1 the visit sweep runs once per lane
+        group of G = T/NG rays, each gated on ITS OWN cull flags and
+        occlusion window: a (64,32) block tile's 2048-ray union
+        overstates every subgroup's cluster needs (measured
+        tools/sim_group_cull2.py: irreg visits drop 5.3% -> 2.7% of
+        dense at G=256 under occlusion), and fully-dead groups skip
+        for free."""
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
         inv_dx = 1.0 / dx
@@ -357,14 +370,14 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         inv_dz = 1.0 / dz
         active_b = active > 0.0
 
-        def slab_counts(blk):
-            """Per-row live-overlap counts for an (Rk, 8) AABB table."""
+        def slab_ok(blk, oxs, oys, ozs, idxs, idys, idzs, act):
+            """Live-overlap mask for an (Rk, 8) AABB table -> (Rk, W)."""
             lo = hi = None
             for face_mn, face_mx, oo, inv in (
-                    (_A_MNX, _A_MXX, ox, inv_dx),
-                    (_A_MNY, _A_MXY, oy, inv_dy),
-                    (_A_MNZ, _A_MXZ, oz, inv_dz)):
-                t0 = (blk[:, face_mn:face_mn + 1] - oo) * inv    # (Rk, T)
+                    (_A_MNX, _A_MXX, oxs, idxs),
+                    (_A_MNY, _A_MXY, oys, idys),
+                    (_A_MNZ, _A_MXZ, ozs, idzs)):
+                t0 = (blk[:, face_mn:face_mn + 1] - oo) * inv    # (Rk, W)
                 t1 = (blk[:, face_mx:face_mx + 1] - oo) * inv
                 alo = jnp.minimum(t0, t1)
                 ahi = jnp.maximum(t0, t1)
@@ -374,9 +387,13 @@ def _megakernel(params_ref,               # SMEM (24,) f32
             hi = jnp.minimum(hi, _BIG)
             # fail-if polarity: NaN stages (axis-parallel ray on a slab
             # plane) report HIT — conservative for culling.
-            ok = ~(hi <= lo) & jnp.broadcast_to(active_b, lo.shape)
-            return jnp.sum(ok.astype(jnp.float32), axis=1,
-                           keepdims=True)                # (Rk, 1)
+            ok = ~(hi <= lo) & jnp.broadcast_to(act, lo.shape)
+            return ok.astype(jnp.float32)
+
+        def slab_counts(blk):
+            return jnp.sum(slab_ok(blk, ox, oy, oz, inv_dx, inv_dy,
+                                   inv_dz, active_b),
+                           axis=1, keepdims=True)        # (Rk, 1)
 
         # Phase A0 (scene-scale, CB > 1): super-AABB culling over whole
         # 128-cluster blocks — an O(C/128) prefilter that gates both the
@@ -389,12 +406,16 @@ def _megakernel(params_ref,               # SMEM (24,) f32
             hits2_ref[:, :] = slab_counts(sup)
 
         # Phase A: min/max slab culling over cluster blocks, masked by the
-        # live rays; per-cluster any-live-hit flags land in VMEM scratch
-        # (cluster, 1) for the scalar visit-skip reads.
+        # live rays; any-live-hit flags land in VMEM scratch laid out
+        # (lane_group * ROWS + cluster, 1) for the scalar visit-skip reads.
         for cb in ([] if not cull else range(CB)):
             def cull_block(cb=cb):
                 blk = aabb_ref[pl.ds(cb, 1), :, :].reshape(CR, 8)
-                hits_ref[pl.ds(cb * CR, CR), :] = slab_counts(blk)
+                okf = slab_ok(blk, ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                              active_b)                  # (CR, T)
+                for lg in range(NG):
+                    hits_ref[pl.ds(lg * ROWS + cb * CR, CR), :] = jnp.sum(
+                        okf[:, lg * G:(lg + 1) * G], axis=1, keepdims=True)
             if two_level:
                 # skipped blocks keep stale cluster flags, but the visit
                 # sweep re-checks the same block flag before reading them
@@ -412,174 +433,197 @@ def _megakernel(params_ref,               # SMEM (24,) f32
             # writes always-hit counts over the padding rows, and a visit
             # with c >= C would DMA past the sphere tables in hbm mode.
             pad_rows = CB * CR - C
-            hits_ref[pl.ds(C, pad_rows), :] = jnp.zeros(
-                (pad_rows, 1), jnp.float32)
+            for lg in range(NG):
+                hits_ref[pl.ds(lg * ROWS + C, pad_rows), :] = jnp.zeros(
+                    (pad_rows, 1), jnp.float32)
 
         # Phase B: visit flagged clusters; dense quadratic -> packed
         # (t | lane) key -> one min-reduce -> one-hot MXU payload.
-        def visit(c, carry):
-            anyhit = hits_ref[c, 0] if cull else jnp.float32(1.0)
+        # One full sweep per lane group (NG static instantiations).
+        def group_sweep(lg):
+            ls = slice(lg * G, (lg + 1) * G)
+            oxg, oyg, ozg = ox[:, ls], oy[:, ls], oz[:, ls]
+            dxg, dyg, dzg = dx[:, ls], dy[:, ls], dz[:, ls]
+            ag, inv_ag = a[:, ls], inv_a[:, ls]
+            invdx, invdy, invdz = (inv_dx[:, ls], inv_dy[:, ls],
+                                   inv_dz[:, ls])
+            frow = lg * ROWS          # this group's flag-row base
 
-            def do_visit(carry):
-                krun, pay = carry[0], carry[1]
-                if hbm_spheres:
-                    # sphere tables exceed VMEM at this C: stream the
-                    # cluster's (8,128) block from HBM (lane-aligned DMA;
-                    # a (128,8) slice would violate Mosaic tiling) and
-                    # transpose in-register for the column views
-                    d8 = pltpu.make_async_copy(sph8_ref.at[c], buf8_ref,
-                                               sem8)
-                    d8.start()
-                    d8.wait()
-                    blkT = jnp.swapaxes(buf8_ref[:, :], 0, 1)
-                else:
-                    blkT = sphT_ref[pl.ds(c, 1), :, :].reshape(LANE, 8)
-                sx = blkT[:, _F_CX:_F_CX + 1]            # (128, 1)
-                sy = blkT[:, _F_CY:_F_CY + 1]
-                sz = blkT[:, _F_CZ:_F_CZ + 1]
-                r2 = blkT[:, _F_R2:_F_R2 + 1]
-                ocx = ox - sx                            # (128, T)
-                ocy = oy - sy
-                ocz = oz - sz
-                b_ = ocx * dx + ocy * dy + ocz * dz
-                c_ = ocx * ocx + ocy * ocy + ocz * ocz - r2
-                disc = b_ * b_ - a * c_
-                pos = disc > 0.0
-                sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
-                t0 = (-b_ - sq) * inv_a
-                use0 = t0 > eps
-                if far_root:
-                    t1 = (-b_ + sq) * inv_a
-                    t = jnp.where(use0, t0, t1)
-                else:
-                    t = jnp.where(use0, t0, _BIG)
-                tv = jnp.where(pos & (t > eps), t, _BIG)
-                key = ((jax.lax.bitcast_convert_type(tv, jnp.int32)
-                        & key_mask) | lane_col)
-                kmin = _min_sublanes(key)                # (1, T)
-                imp_b = kmin < krun
-                impf = imp_b.astype(jnp.float32)
-                # one-hot masked by 'improved'; the (8,128)@(128,T) dot
-                # reads back the winner's fields EXACTLY (single nonzero
-                # term per output; 3-pass bf16 covers the f32 mantissa)
-                onehot = (key == kmin).astype(jnp.float32) * impf
-                if hbm_spheres:
-                    blk8 = buf8_ref[:, :]
-                else:
-                    blk8 = sph8_ref[pl.ds(c, 1), :, :].reshape(8, LANE)
-                pay_c = jax.lax.dot_general(
-                    blk8, onehot,
-                    (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)  # (8, T)
-                # select-free exact update (Mosaic has no (1,T)->(8,T)
-                # select_n broadcast): pay*0 + pay_c  or  pay*1 + 0
-                pay = pay * (1.0 - impf) + pay_c
-                krun = jnp.minimum(krun, kmin)
-                if record:
-                    cidx = carry[2]
-                    cidx = jnp.where(imp_b, jnp.int32(c), cidx)
-                    return (krun, pay, cidx)
-                return (krun, pay)
+            def visit(c, carry):
+                anyhit = (hits_ref[frow + c, 0] if cull
+                          else jnp.float32(1.0))
 
-            # occlusion gate (C > 16 scenes): re-test this cluster's
-            # AABB against the CURRENT best t — clusters entirely behind
-            # the closest hit so far are skipped.  Morton order makes the
-            # sweep roughly front-to-back for coherent tiles, so this is
-            # the TPU analogue of the reference's shrinking-t_max descent
-            # (futhark/bvh.fut:61-84 via objs_hit's fold).  Skipping only
-            # changes winners within one 2^-16 key-floor bucket (ties).
-            # measured: the gate pays for C > 16 (irreg 87 -> 77 ms) but
-            # LOSES at rgbbox's C=4 (92 -> 111 ms: Morton order is not
-            # front-to-back and 4 gates cost more than the visits saved)
-            occl = cull and C > 16
+                def do_visit(carry):
+                    krun, pay = carry[0], carry[1]
+                    if hbm_spheres:
+                        # sphere tables exceed VMEM at this C: stream the
+                        # cluster's (8,128) block from HBM (lane-aligned
+                        # DMA; a (128,8) slice would violate Mosaic
+                        # tiling) and transpose in-register
+                        d8 = pltpu.make_async_copy(sph8_ref.at[c],
+                                                   buf8_ref, sem8)
+                        d8.start()
+                        d8.wait()
+                        blkT = jnp.swapaxes(buf8_ref[:, :], 0, 1)
+                    else:
+                        blkT = sphT_ref[pl.ds(c, 1), :, :].reshape(LANE, 8)
+                    sx = blkT[:, _F_CX:_F_CX + 1]        # (128, 1)
+                    sy = blkT[:, _F_CY:_F_CY + 1]
+                    sz = blkT[:, _F_CZ:_F_CZ + 1]
+                    r2 = blkT[:, _F_R2:_F_R2 + 1]
+                    ocx = oxg - sx                       # (128, G)
+                    ocy = oyg - sy
+                    ocz = ozg - sz
+                    b_ = ocx * dxg + ocy * dyg + ocz * dzg
+                    c_ = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                    disc = b_ * b_ - ag * c_
+                    pos = disc > 0.0
+                    sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+                    t0 = (-b_ - sq) * inv_ag
+                    use0 = t0 > eps
+                    if far_root:
+                        t1 = (-b_ + sq) * inv_ag
+                        t = jnp.where(use0, t0, t1)
+                    else:
+                        t = jnp.where(use0, t0, _BIG)
+                    tv = jnp.where(pos & (t > eps), t, _BIG)
+                    key = ((jax.lax.bitcast_convert_type(tv, jnp.int32)
+                            & key_mask) | lane_col)
+                    kmin = _min_sublanes(key)            # (1, G)
+                    imp_b = kmin < krun
+                    impf = imp_b.astype(jnp.float32)
+                    # one-hot masked by 'improved'; the (8,128)@(128,G)
+                    # dot reads back the winner's fields EXACTLY (single
+                    # nonzero term per output; 3-pass bf16 covers f32)
+                    onehot = (key == kmin).astype(jnp.float32) * impf
+                    if hbm_spheres:
+                        blk8 = buf8_ref[:, :]
+                    else:
+                        blk8 = sph8_ref[pl.ds(c, 1), :, :].reshape(8, LANE)
+                    pay_c = jax.lax.dot_general(
+                        blk8, onehot,
+                        (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # (8, G)
+                    # select-free exact update (Mosaic has no (1,G)->(8,G)
+                    # select_n broadcast): pay*0 + pay_c  or  pay*1 + 0
+                    pay = pay * (1.0 - impf) + pay_c
+                    krun = jnp.minimum(krun, kmin)
+                    if record:
+                        cidx = carry[2]
+                        cidx = jnp.where(imp_b, jnp.int32(c), cidx)
+                        return (krun, pay, cidx)
+                    return (krun, pay)
 
-            def gated(carry):
-                if not occl:
+                # occlusion gate (C > 16 scenes): re-test this cluster's
+                # AABB against the group's CURRENT best t — clusters
+                # entirely behind the closest hit so far are skipped.
+                # Front-to-back cluster order (build_pallas_scene
+                # sort_origin) makes the sweep order match; this is the
+                # TPU analogue of the reference's shrinking-t_max descent
+                # (futhark/bvh.fut:61-84 via objs_hit's fold).  Skipping
+                # only changes winners within one 2^-16 key-floor bucket
+                # (ties).  measured: the gate pays for C > 16 (irreg
+                # 87 -> 77 ms) but LOSES at rgbbox's C=4 (92 -> 111 ms:
+                # 4 gates cost more than the visits saved)
+                occl = cull and C > 16
+
+                def gated(carry):
+                    if not occl:
+                        return do_visit(carry)
+                    cb_g = c // CR
+                    r_g = c - cb_g * CR
+                    lo = hi = None
+                    for fmn, fmx, oo, inv in (
+                            (_A_MNX, _A_MXX, oxg, invdx),
+                            (_A_MNY, _A_MXY, oyg, invdy),
+                            (_A_MNZ, _A_MXZ, ozg, invdz)):
+                        t0 = (aabb_ref[cb_g, r_g, fmn] - oo) * inv  # (1, G)
+                        t1 = (aabb_ref[cb_g, r_g, fmx] - oo) * inv
+                        alo = jnp.minimum(t0, t1)
+                        ahi = jnp.maximum(t0, t1)
+                        lo = alo if lo is None else jnp.maximum(lo, alo)
+                        hi = ahi if hi is None else jnp.minimum(hi, ahi)
+                    best_f = jax.lax.bitcast_convert_type(
+                        carry[0] & key_mask, jnp.float32)
+                    ok = ~(jnp.minimum(hi, _BIG) <= jnp.maximum(lo, T_MIN))
+                    ok &= lo < best_f
+                    n_ok = jnp.sum(ok.astype(jnp.float32))
+                    return jax.lax.cond(n_ok > 0.0, do_visit, lambda x: x,
+                                        carry)
+
+                if not cull:
                     return do_visit(carry)
-                cb_g = c // CR
-                r_g = c - cb_g * CR
-                lo = hi = None
-                for fmn, fmx, oo, inv in ((_A_MNX, _A_MXX, ox, inv_dx),
-                                          (_A_MNY, _A_MXY, oy, inv_dy),
-                                          (_A_MNZ, _A_MXZ, oz, inv_dz)):
-                    t0 = (aabb_ref[cb_g, r_g, fmn] - oo) * inv   # (1, T)
-                    t1 = (aabb_ref[cb_g, r_g, fmx] - oo) * inv
-                    alo = jnp.minimum(t0, t1)
-                    ahi = jnp.maximum(t0, t1)
-                    lo = alo if lo is None else jnp.maximum(lo, alo)
-                    hi = ahi if hi is None else jnp.minimum(hi, ahi)
-                best_f = jax.lax.bitcast_convert_type(
-                    carry[0] & key_mask, jnp.float32)
-                ok = ~(jnp.minimum(hi, _BIG) <= jnp.maximum(lo, T_MIN))
-                ok &= lo < best_f
-                n_ok = jnp.sum(ok.astype(jnp.float32))
-                return jax.lax.cond(n_ok > 0.0, do_visit, lambda x: x,
+                return jax.lax.cond(anyhit > 0.0, gated, lambda x: x,
                                     carry)
 
-            if not cull:
-                return do_visit(carry)
-            return jax.lax.cond(anyhit > 0.0, gated, lambda x: x, carry)
+            init = (jnp.full((1, G), krun_init),
+                    jnp.ones((8, G), jnp.float32))
+            if record:
+                init = init + (jnp.zeros((1, G), jnp.int32),)
 
-        init = (jnp.full((1, T), krun_init),
-                jnp.ones((8, T), jnp.float32))
-        if record:
-            init = init + (jnp.zeros((1, T), jnp.int32),)
+            def sweep_range(lo_c, n, carry):
+                """Visit clusters [lo_c, lo_c+n) with 8-cluster run gates:
+                one scalar flag-sum skips 8 cond evaluations at a time."""
+                if not cull or n <= 8:
+                    return jax.lax.fori_loop(lo_c, lo_c + n, visit, carry)
+                for g0 in range(lo_c, lo_c + n, 8):
+                    gn = min(8, lo_c + n - g0)
+                    gsum = sum(hits_ref[frow + g0 + j, 0]
+                               for j in range(gn))
+                    carry = jax.lax.cond(
+                        gsum > 0.0,
+                        lambda x, g0=g0, gn=gn: jax.lax.fori_loop(
+                            g0, g0 + gn, visit, x),
+                        lambda x: x, carry)
+                return carry
 
-        def sweep_range(lo_c, n, carry):
-            """Visit clusters [lo_c, lo_c+n) with 8-cluster group gates:
-            one scalar flag-sum skips 8 cond evaluations at a time."""
-            if not cull or n <= 8:
-                return jax.lax.fori_loop(lo_c, lo_c + n, visit, carry)
-            for g0 in range(lo_c, lo_c + n, 8):
-                gn = min(8, lo_c + n - g0)
-                gsum = sum(hits_ref[g0 + j, 0] for j in range(gn))
-                carry = jax.lax.cond(
-                    gsum > 0.0,
-                    lambda x, g0=g0, gn=gn: jax.lax.fori_loop(
-                        g0, g0 + gn, visit, x),
-                    lambda x: x, carry)
-            return carry
+            if not (cull and CB > 1):
+                return sweep_range(0, C, init)
+            if CB <= 4:
+                # unrolled: per-block scalar gate around each cluster run
+                carry = init
+                for cb in range(CB):
+                    n_in_block = min(CR, C - cb * CR)
+                    carry = jax.lax.cond(
+                        hits2_ref[cb, 0] > 0.0,
+                        lambda x, cb=cb, n=n_in_block: sweep_range(
+                            cb * CR, n, x),
+                        lambda x: x, carry)
+                return carry
 
-        if not (cull and CB > 1):
-            return sweep_range(0, C, init)
-        if CB <= 4:
-            # unrolled: per-block scalar gate around each cluster run
-            carry = init
-            for cb in range(CB):
-                n_in_block = min(CR, C - cb * CR)
-                carry = jax.lax.cond(
-                    hits2_ref[cb, 0] > 0.0,
-                    lambda x, cb=cb, n=n_in_block: sweep_range(
-                        cb * CR, n, x),
-                    lambda x: x, carry)
-            return carry
+            # scene-scale sweep, fully dynamic (unrolling 60+ blocks
+            # explodes compile time): block cond -> 8-cluster run cond ->
+            # visit cond.  Padding-cluster flags were zeroed after
+            # culling, so dynamic bounds never reach a visit with c >= C.
+            def run_body(args):
+                cb, rg, carry = args
 
-        # scene-scale sweep, fully dynamic (unrolling 60+ blocks explodes
-        # compile time): block cond -> 8-cluster group cond -> visit cond.
-        # Padding-cluster flags were zeroed after culling, so dynamic
-        # bounds never reach a visit body with c >= C.
-        def group_body(args):
-            cb, g, carry = args
+                def gated_run(carry):
+                    base = cb * CR + rg * 8
+                    return jax.lax.fori_loop(base, base + 8, visit, carry)
 
-            def gated_group(carry):
-                base = cb * CR + g * 8
-                return jax.lax.fori_loop(base, base + 8, visit, carry)
+                base = cb * CR + rg * 8
+                gsum = sum(hits_ref[frow + base + j, 0] for j in range(8))
+                return jax.lax.cond(gsum > 0.0, gated_run,
+                                    lambda x: x, carry)
 
-            base = cb * CR + g * 8
-            gsum = sum(hits_ref[base + j, 0] for j in range(8))
-            return jax.lax.cond(gsum > 0.0, gated_group,
-                                lambda x: x, carry)
+            def block_body(cb, carry):
+                def runs(carry):
+                    return jax.lax.fori_loop(
+                        0, CR // 8,
+                        lambda rg, x: run_body((cb, rg, x)), carry)
+                return jax.lax.cond(hits2_ref[cb, 0] > 0.0, runs,
+                                    lambda x: x, carry)
 
-        def block_body(cb, carry):
-            def groups(carry):
-                return jax.lax.fori_loop(
-                    0, CR // 8,
-                    lambda g, x: group_body((cb, g, x)), carry)
-            return jax.lax.cond(hits2_ref[cb, 0] > 0.0, groups,
-                                lambda x: x, carry)
+            return jax.lax.fori_loop(0, CB, block_body, init)
 
-        return jax.lax.fori_loop(0, CB, block_body, init)
+        if NG == 1:
+            return group_sweep(0)
+        parts = [group_sweep(lg) for lg in range(NG)]
+        out = tuple(jnp.concatenate([p[k] for p in parts], axis=1)
+                    for k in range(len(parts[0])))
+        return out
 
     def bounce_body(state):
         (depth, n_active, ox, oy, oz, dx, dy, dz,
@@ -728,7 +772,8 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
                   max_depth: int = MAX_DEPTH, tile: int = DEFAULT_TILE,
                   far_root: bool = True, interpret: bool = False,
                   block: tuple | None = None, cull: bool | None = None,
-                  row0=0.0, total_height: int | None = None):
+                  row0=0.0, total_height: int | None = None,
+                  lane_groups: int | None = None):
     """Render -> packed int32 (h, w) via the megakernel.
 
     ``block=(bh, bw)`` with bh*bw == tile assigns each grid program a 2-D
@@ -764,7 +809,8 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
         ]).astype(jnp.float32)
         out = _call_megakernel(scene, params, num_tiles, tile, max_depth,
                                far_root, cull, interpret, gen_rays=True,
-                               emit_state=False, block_tiled=True)
+                               emit_state=False, block_tiled=True,
+                               lane_groups=lane_groups)
         img = (out.reshape(hp // bh, wp // bw, bh, bw)
                .transpose(0, 2, 1, 3).reshape(hp, wp))
         return img[:height, :width]
@@ -779,7 +825,7 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
 
     out = _call_megakernel(scene, params, num_tiles, tile, max_depth,
                            far_root, cull, interpret, gen_rays=True,
-                           emit_state=False)
+                           emit_state=False, lane_groups=lane_groups)
     return out.reshape(-1)[:R].reshape(height, width)
 
 
@@ -964,7 +1010,7 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
 def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                      cull, interpret, gen_rays, emit_state, state_in=None,
                      block_tiled=False, emit_float=False, record=False,
-                     record_pay=False):
+                     record_pay=False, lane_groups=None):
     """Shared pallas_call wrapper for all megakernel modes."""
     C = scene.n_clusters
     CB = scene.aabbT.shape[0]
@@ -973,6 +1019,20 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
     # cannot share VMEM with the tile pipeline — keep them in HBM and DMA
     # per visited cluster instead
     hbm_spheres = C > 1024
+    if lane_groups is None:
+        # default OFF: per-lane-group gated sweeps were measured a NET
+        # LOSS on v5e (irreg d50: ng=2 53.5 ms vs ng=1 50.4; ng=4/8 crash
+        # the Mosaic compiler) even though the per-group unions prune
+        # 2x more visits (tools/sim_group_cull2.py) — the per-cluster
+        # scalar cond/gate overhead scales linearly with the group count
+        # and outweighs the saved vector work.  Same lesson as the
+        # round-1 per-ray traversal kernel: fine-grained scalar gating
+        # loses on the TPU's scalar-core + wide-VPU structure.  The knob
+        # stays for experiments (tools/ab_lanegroups.py).
+        lane_groups = 1
+    if lane_groups > 1 and not (cull and CB == 1 and not hbm_spheres
+                                and tile % (lane_groups * LANE) == 0):
+        lane_groups = 1
     kernel = functools.partial(_megakernel, tile=tile, n_clusters=C,
                                max_depth=max_depth, far_root=far_root,
                                cull=cull, gen_rays=gen_rays,
@@ -980,7 +1040,8 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                                block_tiled=block_tiled,
                                emit_float=emit_float, record=record,
                                record_pay=record_pay,
-                               hbm_spheres=hbm_spheres)
+                               hbm_spheres=hbm_spheres,
+                               lane_groups=lane_groups)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     SBR = scene.superT.shape[1]
     sph_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm_spheres
@@ -1026,7 +1087,7 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((CB * CR, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((lane_groups * CB * CR, 1), jnp.float32),
                         pltpu.VMEM((SBR, 1), jnp.float32)]
         + ([pltpu.VMEM((8, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA(())]
@@ -1042,8 +1103,10 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
                            cull: bool | None = None,
                            block: tuple | None = None,
                            row0=0.0, total_height: int | None = None,
-                           tile2: int | None = None):
-    """Two-phase render with survivor compaction between phases.
+                           tile2: int | None = None,
+                           lane_groups: int | None = None,
+                           schedule: tuple | None = None):
+    """Multi-phase render with survivor compaction between phases.
 
     A tile's bounce loop runs until its DEEPEST ray dies; with measured
     (32,16)-tile max depth ~21 vs mean ray depth ~4 on rgbbox
@@ -1065,6 +1128,18 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     ``phase1_depth`` so big tiles amortise per-tile fixed costs for
     free, while phase 2 runs each tile to its deepest survivor, so
     small tiles limit deep-tail bounce inflation.
+
+    ``schedule``: depth caps for ALL compacted phases but the last
+    (default ``(phase1_depth,)``); the final phase runs to
+    ``max_depth``.  Measured decomposition (tools/twophase_breakdown.py,
+    rgbbox 1000x1000 d50, v5e): phase 1 40.7 ms, boundary sort 4.3,
+    phase 2 32.0 — packed survivor tiles average ~32 FURTHER bounces
+    (mirror traps), so a second 4.3 ms boundary mid-tail caps that
+    inflation and pays for itself.  Each ray's pixel is produced by
+    exactly the phase it terminates in; an ``acc_pix`` operand rides
+    the boundary sorts and the final ray-id unpermute merges it with
+    the last phase's output, keeping the image bit-identical to the
+    single-phase kernel.
     """
     if cull is None:
         cull = scene.n_clusters > 1
@@ -1095,52 +1170,76 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
             jnp.zeros((4,), jnp.float32),
         ]).astype(jnp.float32)
 
-    state = _call_megakernel(scene, params, num_tiles, tile, phase1_depth,
-                             far_root, cull, interpret, gen_rays=True,
-                             emit_state=True, block_tiled=block is not None)
-    flat = [s.reshape(Rp) for s in state]
-    active = flat[-1]
-    # terminated rays' colours become the base image directly (live rays
-    # hold result = 0 until they terminate, so they pack to 0 here and a
-    # phase-2 scatter overwrites them) — this keeps rr/rg/rb OUT of the
-    # compaction sort: 11 operands instead of 14
-    pr = (255.99 * flat[9]).astype(jnp.int32)
-    pg = (255.99 * flat[10]).astype(jnp.int32)
-    pb = (255.99 * flat[11]).astype(jnp.int32)
-    base_pix = (pr << 16) | (pg << 8) | pb
-    # one int32 key carries (dead-flag << 30) | pixel_id: live rays sort
-    # first, ties resolve by pixel id (stability for free), and the sort
-    # runs on 10 operands instead of 13
-    dead = (active <= 0.0).astype(jnp.int32)
-    key = (dead << 30) | jnp.arange(Rp, dtype=jnp.int32)
-    sorted_all = jax.lax.sort([key] + flat[:9], dimension=0, num_keys=1)
-    key_sorted = sorted_all[0]
-    active_sorted = (key_sorted >> 30) == 0
-    idx_sorted = key_sorted & ((1 << 30) - 1)
+    if schedule is None:
+        schedule = (phase1_depth,)
+    # residual depths per phase: schedule entries, last phase to max_depth
+    assert sum(schedule) < max_depth, (schedule, max_depth)
+
+    def pack_pix(rr, rg, rb):
+        pr = (255.99 * rr).astype(jnp.int32)
+        pg = (255.99 * rg).astype(jnp.int32)
+        pb = (255.99 * rb).astype(jnp.int32)
+        return (pr << 16) | (pg << 8) | pb
+
     t2 = tile if tile2 is None else tile2
     assert Rp % t2 == 0, (Rp, t2)
     nt2 = Rp // t2
     zeros = jnp.zeros((nt2, 1, t2), jnp.float32)
-    packed_state = ([s.reshape(nt2, 1, t2) for s in sorted_all[1:10]]
+
+    state_in = None
+    acc_pix = None                    # dead rays' pixels, current order
+    idx = None                        # original ray id, current order
+    done_so_far = 0
+    for k, p_depth in enumerate(schedule):
+        st = _call_megakernel(
+            scene, params, num_tiles if k == 0 else nt2,
+            tile if k == 0 else t2, p_depth, far_root, cull, interpret,
+            gen_rays=(k == 0), emit_state=True,
+            block_tiled=(k == 0 and block is not None),
+            state_in=state_in, lane_groups=lane_groups)
+        done_so_far += p_depth
+        flat = [s.reshape(Rp) for s in st]
+        active = flat[-1]
+        # rays that terminated THIS phase hold their colour in rr/rg/rb
+        # (zero before termination and for lanes dead on entry, whose
+        # rr/rg/rb were re-zeroed at the previous boundary), so a plain
+        # add accumulates each ray's pixel from exactly one phase
+        pix = pack_pix(flat[9], flat[10], flat[11])
+        acc_pix = pix if acc_pix is None else acc_pix + pix
+        if idx is None:
+            idx = jnp.arange(Rp, dtype=jnp.int32)
+        # one int32 key carries (dead-flag << 30) | pixel_id: live rays
+        # sort first, ties resolve by original pixel id (stability and
+        # image-space coherence for free)
+        dead = (active <= 0.0).astype(jnp.int32)
+        key = (dead << 30) | idx
+        sorted_all = jax.lax.sort([key] + flat[:9] + [acc_pix],
+                                  dimension=0, num_keys=1)
+        key_sorted = sorted_all[0]
+        active_sorted = (key_sorted >> 30) == 0
+        idx = key_sorted & ((1 << 30) - 1)
+        acc_pix = sorted_all[10]
+        state_in = ([s.reshape(nt2, 1, t2) for s in sorted_all[1:10]]
                     + [zeros, zeros, zeros,
                        active_sorted.astype(jnp.float32).reshape(
                            nt2, 1, t2)])
     out = _call_megakernel(scene, params, nt2, t2,
-                           max_depth - phase1_depth, far_root, cull,
+                           max_depth - done_so_far, far_root, cull,
                            interpret, gen_rays=False, emit_state=False,
-                           state_in=packed_state)
+                           state_in=state_in, lane_groups=lane_groups)
     # hand survivors' pixels back to ray order by RE-SORTING on the
     # unique original ray id instead of scattering: a 1M-row scatter
     # costs 8.7 ms on v5e where the 3-operand sort is 5.6
     # (tools/microbench_unpermute.py) — same lesson as the backward
     # replay's carry hand-off.  Dead-sorted lanes re-pack black in
-    # phase 2; taking base_pix for them preserves phase-1 colours
-    # bit-for-bit.
+    # the final phase; taking acc_pix for them preserves earlier
+    # phases' colours bit-for-bit.
+    active_sorted = state_in[-1].reshape(Rp) > 0.0
     out_sorted = out.reshape(Rp)
-    _, act_b, out_b = jax.lax.sort(
-        [idx_sorted, active_sorted.astype(jnp.int32), out_sorted],
+    _, act_b, out_b, acc_b = jax.lax.sort(
+        [idx, active_sorted.astype(jnp.int32), out_sorted, acc_pix],
         dimension=0, num_keys=1)
-    unsorted = jnp.where(act_b == 1, out_b, base_pix)
+    unsorted = jnp.where(act_b == 1, out_b, acc_b)
     if block is not None:
         img = (unsorted.reshape(hp // bh, wp // bw, bh, bw)
                .transpose(0, 2, 1, 3).reshape(hp, wp))

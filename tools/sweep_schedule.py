@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Sweep multi-phase compaction schedules (render_pallas_twophase).
+
+Motivated by tools/twophase_breakdown.py: rgbbox phase 2 runs packed
+survivor tiles ~32 further bounces (32 ms of the 75); a second 4.3 ms
+boundary should cap that.  irreg's tail is tiny — its knob is
+phase-1 depth.
+
+Run ON TPU: python tools/sweep_schedule.py [scene]
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+
+from raytracers_tpu import scenes
+from raytracers_tpu.render.api import prepare_scene
+from raytracers_tpu.render.pallas_kernel import render_pallas_twophase
+from raytracers_tpu.utils.timing import bench_salted
+
+print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+W = H = 1000
+
+CFGS = [
+    # round 2 (round-1 results in docs/PERF_NOTES.md):
+    ("irreg", (6, 8)),
+    ("irreg", (4, 8)),
+    ("plane", (6,)),
+    ("plane", (6, 8)),
+]
+
+
+def run(scene_name, sched):
+    sc = scenes.by_name(scene_name)
+    prep = prepare_scene(sc, H, W, with_pallas=True, with_bvh=False)
+
+    def fn(cam):
+        img = render_pallas_twophase(prep.pallas, cam, W, H, max_depth=50,
+                                     tile=2048, block=(64, 32),
+                                     schedule=sched)
+        return jnp.sum(img)
+
+    jfn = jax.jit(fn)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jfn(prep.cam))
+    compile_s = time.perf_counter() - t0
+    cams = {k: prep.cam._replace(origin=prep.cam.origin
+                                 + jnp.float32(k) * 1e-30)
+            for k in range(-10, 10)}
+    ms = bench_salted(jfn, lambda k: (cams[k],), warmup=2, runs=8) * 1e3
+    print(f"{scene_name} schedule={sched}: {ms:7.2f} ms "
+          f"({W*H/ms/1e3:6.1f} Mrays/s) [compile {compile_s:.0f}s]",
+          flush=True)
+
+
+if __name__ == "__main__":
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    for cfg in CFGS:
+        if only and cfg[0] != only:
+            continue
+        try:
+            run(*cfg)
+        except Exception as e:
+            print(f"{cfg} FAILED: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
