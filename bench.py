@@ -158,9 +158,12 @@ def main():
                             W / H)
             # measured-best fwd+bwd config on v5e (tools/fwdbwd_check.py
             # sweep): fused Pallas backward, 2048-ray (32, 64) block
-            # tiles, survivor compaction at depth 6 in BOTH directions
+            # tiles, survivor compaction at depths (4, 12) in BOTH
+            # directions (98.0 ms vs 104.9 single-boundary p6; the
+            # second boundary caps the packed deep tail exactly like
+            # the plain renderer's schedule)
             f = make_render_pallas_diff(W, H, max_depth=50, tile=2048,
-                                        block=(32, 64), phase1_depth=6)
+                                        block=(32, 64), schedule=(4, 8))
 
             def loss(sph, cam):
                 img = f(sph, cam)

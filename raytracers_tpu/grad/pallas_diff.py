@@ -57,7 +57,8 @@ def make_render_pallas_diff(width: int, height: int,
                             skip_dead: bool | None = None,
                             backward: str = "pallas",
                             block: tuple | None = None,
-                            phase1_depth: int | None = None):
+                            phase1_depth: int | None = None,
+                            schedule: tuple | None = None):
     """Build a differentiable ``f(spheres, cam) -> colours (h, w, 3)``
     whose forward pass is the Pallas megakernel.
 
@@ -93,11 +94,17 @@ def make_render_pallas_diff(width: int, height: int,
     ``phase1_depth=p`` (backward="pallas" only) compacts survivors after
     p bounces exactly like render_pallas_twophase — both the forward
     record AND the backward replay run the deep segment on compacted
-    rays, with the 9-row cotangent carry handed across the boundary."""
+    rays, with the 9-row cotangent carry handed across the boundary.
+    ``schedule`` generalises it to several boundaries (the forward is
+    render_pallas_record_twophase's multi-phase mode; the backward
+    replays segments deep-to-shallow, unpermuting the carry across each
+    boundary)."""
     if backward == "pallas":
+        if schedule is None and phase1_depth:
+            schedule = (phase1_depth,)
         return _make_render_pallas_diff_kernel(width, height, max_depth,
                                                tile, interpret, block,
-                                               phase1_depth)
+                                               schedule)
 
     @jax.custom_vjp
     def render_diff(spheres: Spheres, cam: Camera):
@@ -208,7 +215,7 @@ def make_render_pallas_diff(width: int, height: int,
 
 def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
                                     interpret, block=None,
-                                    phase1_depth=None):
+                                    schedule=None):
     """backward="pallas": fused TPU backward replay.
 
     Forward: megakernel record_pay mode (colours + per-bounce winner
@@ -326,10 +333,10 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
     @jax.custom_vjp
     def render_diff(spheres: Spheres, cam: Camera):
         scene = build_pallas_scene(spheres)
-        if phase1_depth:
+        if schedule:
             colours, _ = render_pallas_record_twophase(
                 scene, cam, width, height, max_depth=max_depth,
-                phase1_depth=phase1_depth, tile=tile,
+                schedule=schedule, tile=tile,
                 interpret=interpret, block=block)
         else:
             colours, _ = render_pallas_record(
@@ -339,10 +346,10 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
 
     def fwd(spheres, cam):
         scene = build_pallas_scene(spheres)
-        if phase1_depth:
+        if schedule:
             colours, aux = render_pallas_record_twophase(
                 scene, cam, width, height, max_depth=max_depth,
-                phase1_depth=phase1_depth, tile=tile,
+                schedule=schedule, tile=tile,
                 interpret=interpret, block=block)
             return colours, (spheres, cam, aux, scene.order)
         colours, _, rec_raw, pay = render_pallas_record(
@@ -357,35 +364,39 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
         S = order.size
         C = S // 128
 
-        if phase1_depth:
+        if schedule:
             aux = fwd_res
-            nt = aux["rec1"].shape[0]
+            nt = aux["recs"][0].shape[0]
             Rp = nt * tile
-            p = phase1_depth
+            m = len(aux["poskeys"])            # boundaries
+            depths = list(schedule) + [max_depth - sum(schedule)]
             gflat = _gflat(g, Rp)
-            key_sorted = aux["key_sorted"]
-            idx_sorted = key_sorted & ((1 << 30) - 1)
-            # deep segment first: compacted rays, boundary state input
-            g2 = gflat[idx_sorted]
-            tab2 = None
-            segs = [(aux["rec2"], aux["pay2"], _rows16(g2, nt),
-                     aux["state16"], False, max_depth - p)]
-            tab2, (carry16,) = _segments_to_tab(segs, S, C, cam, interpret)
-            # 9-row carry back to primary ray order via ONE fused
-            # multi-operand sort (idx_sorted is a full permutation of
-            # ray ids, and dead lanes emit exact-zero carries, so the
-            # ascending key-sort IS the inverse permutation — measured
-            # ~10 ms vs ~40+ for the equivalent scatter)
-            carr_rows = [carry16[:, r, :].reshape(Rp) for r in range(9)]
-            unsorted = jax.lax.sort([idx_sorted] + carr_rows,
-                                    dimension=0, num_keys=1)
-            carry9 = unsorted[1:]
-            # shallow segment: all rays, primary layout, carried seed
-            segs = [(aux["rec1"], aux["pay1"],
-                     _rows16(gflat, nt, carry9), None,
-                     block is not None, p)]
-            tab1, (cotray,) = _segments_to_tab(segs, S, C, cam, interpret)
-            tab_slot = tab1 + tab2
+            # segments deep-to-shallow; the 9-row cotangent carry crosses
+            # each boundary via ONE fused multi-operand sort on the
+            # boundary's position key (low bits = position in the
+            # previous segment's order, so the ascending key-sort IS the
+            # inverse permutation; dead lanes emit exact-zero carries —
+            # measured ~10 ms vs ~40+ for the equivalent scatter)
+            tab_slot = None
+            carry9 = None
+            for k in range(m, -1, -1):
+                gk = gflat if k == 0 else gflat[aux["idxs"][k - 1]]
+                segs = [(aux["recs"][k], aux["pays"][k],
+                         _rows16(gk, nt, carry9),
+                         None if k == 0 else aux["states16"][k - 1],
+                         k == 0 and block is not None, depths[k])]
+                tab_k, (carry16,) = _segments_to_tab(segs, S, C, cam,
+                                                     interpret)
+                tab_slot = tab_k if tab_slot is None else tab_slot + tab_k
+                if k > 0:
+                    pos_prev = aux["poskeys"][k - 1] & ((1 << 30) - 1)
+                    carr_rows = [carry16[:, r, :].reshape(Rp)
+                                 for r in range(9)]
+                    unsorted = jax.lax.sort([pos_prev] + carr_rows,
+                                            dimension=0, num_keys=1)
+                    carry9 = unsorted[1:]
+                else:
+                    cotray = carry16
         else:
             rec_raw, pay = fwd_res
             nt = rec_raw.shape[0]

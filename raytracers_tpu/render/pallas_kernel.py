@@ -914,20 +914,26 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
                                   far_root: bool = True,
                                   interpret: bool = False,
                                   cull: bool | None = None,
-                                  block: tuple | None = None):
+                                  block: tuple | None = None,
+                                  schedule: tuple | None = None):
     """Record-mode forward with survivor compaction between phases
     (render_pallas_twophase's structure, emitting the (rec, pay) records
     each segment needs for the segmented Pallas backward replay).
 
-    Returns (colours (h, w, 3) f32, aux) where aux carries the two
-    segments' records in their raw tile layouts — phase 1 in the
-    original (scanline/block) ray order, phase 2 in compacted order —
-    plus the sorted boundary state and the compaction keys:
+    ``schedule`` = depth caps for all compacted phases but the last
+    (default ``(phase1_depth,)``), exactly as in render_pallas_twophase.
 
-      rec1 (nt, p, T), pay1 (nt, p, 8, T)        phase-1 record
-      rec2 (nt, D-p, T), pay2 (nt, D-p, 8, T)    phase-2 record (compacted)
-      state16 (nt, 16, T)                        rows 0-8: sorted (o,d,light)
-      key_sorted (Rp,) int32                     (dead<<30 | original ray id)
+    Returns (colours (h, w, 3) f32, aux) where aux carries per-segment
+    records in their raw tile layouts — segment 0 in the original
+    (scanline/block) ray order, later segments in their compacted
+    orders — plus per-boundary sorted state and keys:
+
+      recs[k] (nt, D_k, T), pays[k] (nt, D_k, 8, T)   segment records
+      states16[k] (nt, 16, T)   rows 0-8: boundary-k sorted (o,d,light)
+      poskeys[k] (Rp,) int32    (dead << 30 | position in segment-k
+                                 order) — low bits invert boundary k's
+                                 permutation (backward carry hand-off)
+      idxs[k] (Rp,) int32       original ray id per lane of segment k+1
 
     Per-ray arithmetic is identical to the single-phase record kernel,
     so colours are bit-identical to ``render_pallas_record`` (and to the
@@ -935,8 +941,10 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
     """
     if cull is None:
         cull = scene.n_clusters > 1
+    if schedule is None:
+        schedule = (phase1_depth,)
+    assert sum(schedule) < max_depth, (schedule, max_depth)
     R = width * height
-    p = phase1_depth
     if block is not None:
         bh, bw = block
         assert bh * bw == tile, (block, tile)
@@ -957,53 +965,78 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
         blk_params,
     ]).astype(jnp.float32)
 
-    out1 = _call_megakernel(scene, params, num_tiles, tile, p, far_root,
-                            cull, interpret, gen_rays=True,
-                            emit_state=True, block_tiled=block is not None,
-                            record=True, record_pay=True)
-    state, rec1, pay1 = out1[:13], out1[13], out1[14]
-    flat = [s.reshape(Rp) for s in state]
-    active = flat[12]
-    dead = (active <= 0.0).astype(jnp.int32)
-    key = (dead << 30) | jnp.arange(Rp, dtype=jnp.int32)
-    sorted_all = jax.lax.sort([key] + flat[:9], dimension=0, num_keys=1)
-    key_sorted = sorted_all[0]
-    active_sorted = (key_sorted >> 30) == 0
-    idx_sorted = key_sorted & ((1 << 30) - 1)
     zeros = jnp.zeros((num_tiles, 1, tile), jnp.float32)
-    packed_state = ([s.reshape(num_tiles, 1, tile)
+    recs, pays, states16, poskeys, idxs = [], [], [], [], []
+    idx = jnp.arange(Rp, dtype=jnp.int32)      # original id, current order
+    acc = None                                 # dead rays' colours (3 rows)
+    state_in = None
+    done = 0
+    for k, p in enumerate(schedule):
+        out = _call_megakernel(
+            scene, params, num_tiles, tile, p, far_root, cull, interpret,
+            gen_rays=(k == 0), emit_state=True,
+            block_tiled=(k == 0 and block is not None),
+            state_in=state_in, record=True, record_pay=True)
+        state, rec_k, pay_k = out[:13], out[13], out[14]
+        recs.append(rec_k)
+        pays.append(pay_k)
+        flat = [s.reshape(Rp) for s in state]
+        # rays terminate in exactly one phase; continuation phases start
+        # from zeroed rr/rg/rb, so addition accumulates exactly
+        acc = (flat[9:12] if acc is None
+               else [a + f for a, f in zip(acc, flat[9:12])])
+        dead = (flat[12] <= 0.0).astype(jnp.int32)
+        key = (dead << 30) | jnp.arange(Rp, dtype=jnp.int32)
+        sorted_all = jax.lax.sort([key] + flat[:9] + acc + [idx],
+                                  dimension=0, num_keys=1)
+        key_sorted = sorted_all[0]
+        poskeys.append(key_sorted)
+        acc = list(sorted_all[10:13])
+        idx = sorted_all[13]
+        idxs.append(idx)
+        active_sorted = (key_sorted >> 30) == 0
+        state_in = ([s.reshape(num_tiles, 1, tile)
                      for s in sorted_all[1:10]]
                     + [zeros, zeros, zeros,
                        active_sorted.astype(jnp.float32).reshape(
                            num_tiles, 1, tile)])
-    out2 = _call_megakernel(scene, params, num_tiles, tile, max_depth - p,
-                            far_root, cull, interpret, gen_rays=False,
-                            emit_state=False, state_in=packed_state,
+        states16.append(jnp.concatenate(
+            [jnp.stack(sorted_all[1:10], axis=0)
+             .reshape(9, num_tiles, tile).transpose(1, 0, 2),
+             jnp.zeros((num_tiles, 7, tile), jnp.float32)], axis=1))
+        done += p
+    outF = _call_megakernel(scene, params, num_tiles, tile,
+                            max_depth - done, far_root, cull, interpret,
+                            gen_rays=False, emit_state=False,
+                            state_in=state_in,
                             emit_float=True, record=True, record_pay=True)
-    rr2, rg2, rb2, rec2, pay2 = out2
-    # float colours: phase-1 results are the base; survivors' phase-2
-    # colours ride back on a sort by original ray id (3 scatters cost
-    # 18.2 ms on v5e, the 5-operand unpermute sort 5.9 —
-    # tools/microbench_unpermute.py)
-    _, act_b, r_b, g_b, b_b = jax.lax.sort(
-        [idx_sorted, active_sorted.astype(jnp.int32)]
-        + [x.reshape(Rp) for x in (rr2, rg2, rb2)],
+    rrF, rgF, rbF, recF, payF = outF
+    recs.append(recF)
+    pays.append(payF)
+    # float colours back to original ray order: one sort by original id
+    # (3 scatters cost 18.2 ms on v5e, the unpermute sort 5.9 —
+    # tools/microbench_unpermute.py); earlier phases' colours ride as
+    # the acc operands and merge where the final phase was dead-on-entry
+    act_last = ((poskeys[-1] >> 30) == 0).astype(jnp.int32)
+    srt = jax.lax.sort(
+        [idx, act_last] + [x.reshape(Rp) for x in (rrF, rgF, rbF)] + acc,
         dimension=0, num_keys=1)
+    act_b = srt[1]
     colflat = jnp.stack(
-        [jnp.where(act_b == 1, ph2, base)
-         for base, ph2 in zip(flat[9:12], (r_b, g_b, b_b))], axis=-1)
+        [jnp.where(act_b == 1, phF, accv)
+         for phF, accv in zip(srt[2:5], srt[5:8])], axis=-1)
     if block is not None:
         colours = (colflat.reshape(hp // bh, wp // bw, bh, bw, 3)
                    .transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
                    [:height, :width])
     else:
         colours = colflat[:R].reshape(height, width, 3)
-    state16 = jnp.concatenate(
-        [jnp.stack(sorted_all[1:10], axis=0)
-         .reshape(9, num_tiles, tile).transpose(1, 0, 2),
-         jnp.zeros((num_tiles, 7, tile), jnp.float32)], axis=1)
-    aux = dict(rec1=rec1, pay1=pay1, rec2=rec2, pay2=pay2,
-               state16=state16, key_sorted=key_sorted)
+    aux = dict(recs=recs, pays=pays, states16=states16,
+               poskeys=poskeys, idxs=idxs, schedule=tuple(schedule))
+    # legacy two-segment aliases (tests, older tools)
+    if len(schedule) == 1:
+        aux.update(rec1=recs[0], pay1=pays[0], rec2=recs[1], pay2=pays[1],
+                   state16=states16[0], key_sorted=poskeys[0])
     return colours, aux
 
 

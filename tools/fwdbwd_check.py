@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--block", type=int, nargs=2, default=None)
     ap.add_argument("--phase1", type=int, default=None,
                     help="survivor-compaction depth (segmented replay)")
+    ap.add_argument("--schedule", type=int, nargs="+", default=None,
+                    help="multi-boundary compaction schedule")
     args = ap.parse_args()
 
     import jax
@@ -39,6 +41,8 @@ def main():
         kw["block"] = tuple(args.block)
     if args.phase1:
         kw["phase1_depth"] = args.phase1
+    if args.schedule:
+        kw["schedule"] = tuple(args.schedule)
     f = make_render_pallas_diff(W, H, max_depth=args.depth,
                                 bwd_chunks=args.chunks,
                                 backward=args.backward, **kw)
