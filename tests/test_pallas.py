@@ -185,3 +185,27 @@ def test_twophase_block_tiled_bit_identical():
                                           phase1_depth=5, tile=256,
                                           block=(16, 16), interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_multiphase_schedule_matches_single():
+    """A multi-boundary compaction schedule is a pure repartitioning of
+    the bounce loop: images are bit-identical to the single-phase kernel
+    for every schedule (each ray's pixel is produced by exactly the
+    phase it terminates in and accumulated across the boundary sorts)."""
+    import numpy as np
+
+    from raytracers_tpu import camera, scenes
+    from raytracers_tpu.render.pallas_kernel import (build_pallas_scene,
+                                                     render_pallas,
+                                                     render_pallas_twophase)
+    for name in ("rgbbox", "irreg"):
+        sc = scenes.by_name(name)
+        ps = build_pallas_scene(sc.spheres)
+        cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
+        a = np.asarray(render_pallas(ps, cam, 40, 40, max_depth=30,
+                                     interpret=True))
+        for sched in ((4, 8), (3, 3, 6)):
+            b = np.asarray(render_pallas_twophase(
+                ps, cam, 40, 40, max_depth=30, schedule=sched,
+                interpret=True))
+            np.testing.assert_array_equal(a, b)

@@ -244,3 +244,31 @@ def test_pallas_bwd_matches_xla_shallow():
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(a).max() + 1e-8
         assert np.abs(a - b).max() / scale < 3e-3
+
+
+def test_pallas_bwd_multiphase_schedule():
+    """N-boundary record/replay (schedule) matches the single-segment
+    path: forward bit-identical, gradients equal up to f32 ordering
+    (the carry crosses each boundary by exact chain rule)."""
+    spheres, cam = _setup()
+    f1 = make_render_pallas_diff(W, H, max_depth=10, tile=256,
+                                 interpret=True)
+    f2 = make_render_pallas_diff(W, H, max_depth=10, tile=256,
+                                 interpret=True, schedule=(2, 3),
+                                 block=(16, 16))
+    i1 = np.asarray(f1(spheres, cam))
+    np.testing.assert_array_equal(i1, np.asarray(f2(spheres, cam)))
+
+    def loss(f):
+        def L(s, c):
+            img = f(s, c)
+            w = jnp.sin(jnp.arange(img.size,
+                                   dtype=jnp.float32)).reshape(img.shape)
+            return jnp.sum(img * w)
+        return L
+
+    g1 = jax.grad(loss(f1), argnums=(0, 1))(spheres, cam)
+    g2 = jax.grad(loss(f2), argnums=(0, 1))(spheres, cam)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-5 * (np.abs(a).max() + 1e-8)

@@ -6,7 +6,9 @@ survivor tiles ~32 further bounces (32 ms of the 75); a second 4.3 ms
 boundary should cap that.  irreg's tail is tiny — its knob is
 phase-1 depth.
 
-Run ON TPU: python tools/sweep_schedule.py [scene]
+Run ON TPU: python tools/sweep_schedule.py [cfg ...]
+where cfg = scene:tile:BHxBW:d1-d2-...  e.g. rgbbox:2048:64x32:4-8
+(no args: the built-in CFGS list).
 """
 import sys
 import time
@@ -27,21 +29,21 @@ print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
 W = H = 1000
 
 CFGS = [
-    # round 2 (round-1 results in docs/PERF_NOTES.md):
-    ("irreg", (6, 8)),
-    ("irreg", (4, 8)),
-    ("plane", (6,)),
-    ("plane", (6, 8)),
+    # round 3: plane-100k at its compilable tile (512/(32,16))
+    ("plane", 512, (32, 16), (6,)),
+    ("plane", 512, (32, 16), (6, 8)),
+    ("plane", 512, (32, 16), (3, 8)),
+    ("plane", 512, (32, 16), (6, 8, 12)),
 ]
 
 
-def run(scene_name, sched):
+def run(scene_name, tile, block, sched):
     sc = scenes.by_name(scene_name)
     prep = prepare_scene(sc, H, W, with_pallas=True, with_bvh=False)
 
     def fn(cam):
         img = render_pallas_twophase(prep.pallas, cam, W, H, max_depth=50,
-                                     tile=2048, block=(64, 32),
+                                     tile=tile, block=block,
                                      schedule=sched)
         return jnp.sum(img)
 
@@ -53,16 +55,22 @@ def run(scene_name, sched):
                                  + jnp.float32(k) * 1e-30)
             for k in range(-10, 10)}
     ms = bench_salted(jfn, lambda k: (cams[k],), warmup=2, runs=8) * 1e3
-    print(f"{scene_name} schedule={sched}: {ms:7.2f} ms "
+    print(f"{scene_name} tile={tile} schedule={sched}: {ms:7.2f} ms "
           f"({W*H/ms/1e3:6.1f} Mrays/s) [compile {compile_s:.0f}s]",
           flush=True)
 
 
+def parse_cfg(spec):
+    scene_name, tile, block, sched = spec.split(":")
+    bh, bw = block.split("x")
+    return (scene_name, int(tile), (int(bh), int(bw)),
+            tuple(int(d) for d in sched.split("-")))
+
+
 if __name__ == "__main__":
-    only = sys.argv[1] if len(sys.argv) > 1 else None
-    for cfg in CFGS:
-        if only and cfg[0] != only:
-            continue
+    cfgs = ([parse_cfg(a) for a in sys.argv[1:]]
+            if len(sys.argv) > 1 else CFGS)
+    for cfg in cfgs:
         try:
             run(*cfg)
         except Exception as e:
