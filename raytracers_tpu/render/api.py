@@ -87,9 +87,10 @@ def render(prepared: PreparedScene, height: int, width: int,
         # Measured-best configs by scene class (tools/sweep_schedule.py,
         # tools/ab_twophase_cfg.py, v5e 1000x1000 d50):
         # * C <= 16 (rgbbox-class, dense sweeps): tile 2048/(64,32),
-        #   schedule (6, 8) — packed phase-2 tiles averaged ~32 further
+        #   schedule (4, 8) — packed phase-2 tiles averaged ~32 further
         #   bounces (mirror traps); the second 4.3 ms boundary caps that
-        #   (75.1 -> 61.5 ms).
+        #   and a depth-4 first boundary sheds dead rays 2 bounces
+        #   earlier ((6,) 75.1 -> (6,8) 61.5 -> (4,8) 58.4 ms).
         # * 16 < C <= 128 (irreg-class, culled sweeps): same tiles,
         #   schedule (3, 8) (50.9 -> 48.1 ms: shallow mean depth, small
         #   deep tail).
@@ -102,7 +103,7 @@ def render(prepared: PreparedScene, height: int, width: int,
             default_sched = (6,)
         else:
             tile, block = 2048, (64, 32)
-            default_sched = (6, 8) if C <= 16 else (3, 8)
+            default_sched = (4, 8) if C <= 16 else (3, 8)
         if schedule is None:
             schedule = ((phase1_depth,) if phase1_depth is not None
                         else default_sched)

@@ -41,20 +41,24 @@ def run(scene_name, tile, block, sched):
     sc = scenes.by_name(scene_name)
     prep = prepare_scene(sc, H, W, with_pallas=True, with_bvh=False)
 
-    def fn(cam):
-        img = render_pallas_twophase(prep.pallas, cam, W, H, max_depth=50,
+    # pass the scene as a jit ARGUMENT: closing over prep.pallas embeds
+    # 6+ MB of constants into the HLO, which crashes the remote compile
+    # helper on big scenes (plane-100k) — and misses the compile cache
+    def fn(ps, cam):
+        img = render_pallas_twophase(ps, cam, W, H, max_depth=50,
                                      tile=tile, block=block,
                                      schedule=sched)
         return jnp.sum(img)
 
     jfn = jax.jit(fn)
     t0 = time.perf_counter()
-    jax.block_until_ready(jfn(prep.cam))
+    jax.block_until_ready(jfn(prep.pallas, prep.cam))
     compile_s = time.perf_counter() - t0
     cams = {k: prep.cam._replace(origin=prep.cam.origin
                                  + jnp.float32(k) * 1e-30)
             for k in range(-10, 10)}
-    ms = bench_salted(jfn, lambda k: (cams[k],), warmup=2, runs=8) * 1e3
+    ms = bench_salted(jfn, lambda k: (prep.pallas, cams[k]),
+                      warmup=2, runs=8) * 1e3
     print(f"{scene_name} tile={tile} schedule={sched}: {ms:7.2f} ms "
           f"({W*H/ms/1e3:6.1f} Mrays/s) [compile {compile_s:.0f}s]",
           flush=True)
