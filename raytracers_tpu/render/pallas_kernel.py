@@ -257,7 +257,7 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 emit_state: bool = False, block_tiled: bool = False,
                 emit_float: bool = False, record: bool = False,
                 record_pay: bool = False, hbm_spheres: bool = False,
-                lane_groups: int = 1):
+                lane_groups: int = 1, force_occl: bool = False):
     T = tile
     C = n_clusters
     CB = aabb_ref.shape[0]
@@ -525,8 +525,10 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 # only changes winners within one 2^-16 key-floor bucket
                 # (ties).  measured: the gate pays for C > 16 (irreg
                 # 87 -> 77 ms) but LOSES at rgbbox's C=4 (92 -> 111 ms:
-                # 4 gates cost more than the visits saved)
-                occl = cull and C > 16
+                # 4 gates cost more than the visits saved).  force_occl
+                # overrides for compacted continuation phases, whose
+                # coherent tiles make the gate prune even at tiny C.
+                occl = cull and (C > 16 or force_occl)
 
                 def gated(carry):
                     if not occl:
@@ -1043,7 +1045,7 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
 def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                      cull, interpret, gen_rays, emit_state, state_in=None,
                      block_tiled=False, emit_float=False, record=False,
-                     record_pay=False, lane_groups=None):
+                     record_pay=False, lane_groups=None, force_occl=False):
     """Shared pallas_call wrapper for all megakernel modes."""
     C = scene.n_clusters
     CB = scene.aabbT.shape[0]
@@ -1074,7 +1076,8 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                                emit_float=emit_float, record=record,
                                record_pay=record_pay,
                                hbm_spheres=hbm_spheres,
-                               lane_groups=lane_groups)
+                               lane_groups=lane_groups,
+                               force_occl=force_occl)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     SBR = scene.superT.shape[1]
     sph_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm_spheres
@@ -1138,7 +1141,9 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
                            row0=0.0, total_height: int | None = None,
                            tile2: int | None = None,
                            lane_groups: int | None = None,
-                           schedule: tuple | None = None):
+                           schedule: tuple | None = None,
+                           coherent: bool = False,
+                           occl_cont: bool = False):
     """Multi-phase render with survivor compaction between phases.
 
     A tile's bounce loop runs until its DEEPEST ray dies; with measured
@@ -1173,6 +1178,20 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     the boundary sorts and the final ray-id unpermute merges it with
     the last phase's output, keeping the image bit-identical to the
     single-phase kernel.
+
+    ``coherent``: pack survivors by (direction octant | position
+    Morton) instead of original pixel id.  The final unpermute makes
+    the interior order free, and the directional slab cull skips
+    clusters BEHIND a ray — so direction-coherent tiles can cull
+    walls that pixel-ordered tiles (whose rays, deep in mirror
+    cascades, head every way) cannot.  Costs one extra sort operand
+    (the ray id no longer rides in the key's low bits).
+
+    ``occl_cont``: force the per-cluster occlusion gate ON in
+    continuation phases even at C <= 16 (where the primary-phase
+    measurement said it loses).  NOTE: unlike ``coherent``, this can
+    change winners within one 2^-16 key-floor tie bucket vs the
+    ungated single-phase kernel (same caveat as the C > 16 gate).
     """
     if cull is None:
         cull = scene.n_clusters > 1
@@ -1219,6 +1238,15 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     nt2 = Rp // t2
     zeros = jnp.zeros((nt2, 1, t2), jnp.float32)
 
+    if coherent:
+        # scene bounds for position quantization (cluster padding is
+        # +inf mins / -inf maxs: neutral under min/max)
+        sc_mn = scene.aabbT[:, :, 0:3].reshape(-1, 3).min(axis=0)
+        sc_mx = scene.aabbT[:, :, 3:6].reshape(-1, 3).max(axis=0)
+        sc_span = sc_mx - sc_mn
+        sc_inv = jnp.where(sc_span > 0, 1.0 / jnp.where(sc_span > 0,
+                                                        sc_span, 1.0), 0.0)
+
     state_in = None
     acc_pix = None                    # dead rays' pixels, current order
     idx = None                        # original ray id, current order
@@ -1229,7 +1257,8 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
             tile if k == 0 else t2, p_depth, far_root, cull, interpret,
             gen_rays=(k == 0), emit_state=True,
             block_tiled=(k == 0 and block is not None),
-            state_in=state_in, lane_groups=lane_groups)
+            state_in=state_in, lane_groups=lane_groups,
+            force_occl=(occl_cont and k > 0))
         done_so_far += p_depth
         flat = [s.reshape(Rp) for s in st]
         active = flat[-1]
@@ -1245,12 +1274,27 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
         # sort first, ties resolve by original pixel id (stability and
         # image-space coherence for free)
         dead = (active <= 0.0).astype(jnp.int32)
-        key = (dead << 30) | idx
-        sorted_all = jax.lax.sort([key] + flat[:9] + [acc_pix],
-                                  dimension=0, num_keys=1)
-        key_sorted = sorted_all[0]
-        active_sorted = (key_sorted >> 30) == 0
-        idx = key_sorted & ((1 << 30) - 1)
+        if coherent:
+            from ..bvh.morton import morton3d
+            octant = ((flat[3] < 0).astype(jnp.int32)
+                      | ((flat[4] < 0).astype(jnp.int32) << 1)
+                      | ((flat[5] < 0).astype(jnp.int32) << 2))
+            pos = jnp.stack([flat[0], flat[1], flat[2]], axis=1)
+            m = morton3d((pos - sc_mn) * sc_inv)          # 30-bit uint32
+            key = ((dead << 30) | (octant << 27)
+                   | (m >> 3).astype(jnp.int32))
+            sorted_all = jax.lax.sort([key] + flat[:9] + [acc_pix, idx],
+                                      dimension=0, num_keys=1)
+            key_sorted = sorted_all[0]
+            active_sorted = (key_sorted >> 30) == 0
+            idx = sorted_all[11]
+        else:
+            key = (dead << 30) | idx
+            sorted_all = jax.lax.sort([key] + flat[:9] + [acc_pix],
+                                      dimension=0, num_keys=1)
+            key_sorted = sorted_all[0]
+            active_sorted = (key_sorted >> 30) == 0
+            idx = key_sorted & ((1 << 30) - 1)
         acc_pix = sorted_all[10]
         state_in = ([s.reshape(nt2, 1, t2) for s in sorted_all[1:10]]
                     + [zeros, zeros, zeros,
@@ -1259,7 +1303,8 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     out = _call_megakernel(scene, params, nt2, t2,
                            max_depth - done_so_far, far_root, cull,
                            interpret, gen_rays=False, emit_state=False,
-                           state_in=state_in, lane_groups=lane_groups)
+                           state_in=state_in, lane_groups=lane_groups,
+                           force_occl=occl_cont)
     # hand survivors' pixels back to ray order by RE-SORTING on the
     # unique original ray id instead of scattering: a 1M-row scatter
     # costs 8.7 ms on v5e where the 3-operand sort is 5.6
