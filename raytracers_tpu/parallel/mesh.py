@@ -70,7 +70,9 @@ def trace_sharded(prepared: PreparedScene, origins, dirs, mesh: Mesh,
 def render_pallas_sharded(scene, cam, height: int, width: int,
                           mesh: Mesh | None = None,
                           max_depth: int = MAX_DEPTH,
-                          tile: int = 512, block: tuple = (32, 16),
+                          tile: int | None = None,
+                          block: tuple | None = None,
+                          schedule: tuple | None = None,
                           interpret: bool = False):
     """Sharded megakernel render: each device renders a horizontal slab
     of the image (its share of the Pallas tile grid); scene + BVH tables
@@ -86,19 +88,33 @@ def render_pallas_sharded(scene, cam, height: int, width: int,
 
     mesh = mesh if mesh is not None else ray_mesh()
     n = mesh.devices.size
+
+    # same measured per-scene-class defaults as render/api.py (tile
+    # grouping does not change per-ray arithmetic, so any choice stays
+    # bit-identical; these are the fast ones).  Small images fall back
+    # to (32,16)/512: a 64-row block would pad every device's slab to
+    # 64 rows and burn the saving on padding lanes.
+    C = scene.n_clusters
+    if tile is None or block is None:
+        if C > 128 or height < n * 64 or width < 32:
+            tile, block = 512, (32, 16)
+        else:
+            tile, block = 2048, (64, 32)
+    if schedule is None:
+        schedule = ((4, 8) if C <= 16 else (3, 8)) if C <= 128 else (6,)
     bh = block[0] if block is not None else 1
     rows_per = -(-height // (n * bh)) * bh       # slab height, block-aligned
     hp = rows_per * n
     offsets = (jnp.arange(n, dtype=jnp.float32) * rows_per).reshape(n, 1)
 
     def shard_fn(offs, scene, cam):
-        if max_depth >= 16:
+        if max_depth >= 16 and sum(schedule) < max_depth:
             # same survivor-compaction policy as the unsharded render():
             # each device sorts its own slab (per-ray arithmetic does not
             # depend on tile grouping, so this stays bit-identical)
             slab = render_pallas_twophase(
                 scene, cam, width, rows_per, max_depth=max_depth,
-                phase1_depth=6, tile=tile, block=block,
+                schedule=schedule, tile=tile, block=block,
                 interpret=interpret, row0=offs[0, 0], total_height=height)
         else:
             slab = render_pallas(scene, cam, width, rows_per,

@@ -209,3 +209,11 @@ def test_multiphase_schedule_matches_single():
                 ps, cam, 40, 40, max_depth=30, schedule=sched,
                 interpret=True))
             np.testing.assert_array_equal(a, b)
+        # coherent survivor packing is a pure reorder (the final ray-id
+        # unpermute undoes it); occl_cont only changes winners within a
+        # key-floor tie bucket — none at this scene/res (measured-off
+        # experiment knobs, tools/ab_coherent.py)
+        b = np.asarray(render_pallas_twophase(
+            ps, cam, 40, 40, max_depth=30, schedule=(4, 8),
+            interpret=True, coherent=True, occl_cont=True))
+        np.testing.assert_array_equal(a, b)
