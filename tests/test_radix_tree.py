@@ -110,3 +110,26 @@ def test_duplicates_depth_balanced():
     tree = build_radix_tree(np.full(256, 7, np.uint32))
     _, max_depth = node_depths(tree)
     assert int(max_depth) <= 8
+
+
+def test_rmq_build_matches_search_build():
+    """The RMQ formulation (sparse-table lifting + one-query split) must
+    reproduce the reference-literal per-node-search build EXACTLY — same
+    children, parents, and leaf ranges — on random, duplicate-heavy and
+    adversarial inputs."""
+    from raytracers_tpu.bvh.radix_tree import build_radix_tree_searches
+
+    rng = np.random.default_rng(11)
+    cases = [np.sort(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+             for n in (2, 3, 4, 7, 64, 257, 1000)]
+    cases += [np.full(17, 9, np.uint32),
+              np.sort(np.array([5, 5, 5, 9, 9, 100, 100, 100, 100, 2**31],
+                               np.uint32)),
+              np.array([1 << i for i in range(30)], np.uint32),
+              np.sort(rng.integers(0, 4, size=333, dtype=np.uint32))]
+    for codes in cases:
+        a = build_radix_tree(codes)
+        b = build_radix_tree_searches(codes)
+        for fa, fb, name in zip(a, b, a._fields):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb),
+                                          err_msg=f"{name} n={len(codes)}")
