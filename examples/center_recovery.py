@@ -16,7 +16,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import jax  # noqa: E402
 
-if jax.devices()[0].platform != "tpu":
+# default to CPU (the soft renderer is plain XLA; probing jax.devices()
+# here would initialize — and possibly fail on — a busy/odd accelerator
+# plugin before the override could take effect); pass --tpu to opt in
+if "--tpu" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
@@ -33,6 +36,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--res", type=int, default=48)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the attached accelerator (default: CPU)")
     args = ap.parse_args()
 
     true = Spheres(

@@ -46,6 +46,99 @@ def _loss_shard(spheres, origins, dirs, target, max_depth, oracle_mode):
     return jnp.sum((colours - target) ** 2)
 
 
+def band_camera(cam: Camera, row0, rows: int, total_height: int) -> Camera:
+    """Camera whose (w x rows) image is rows [row0, row0+rows) of ``cam``'s
+    (w x total_height) image.
+
+    The pixel->ray map is affine in the row index (v = (h - j)/h,
+    futhark/ray.fut:150-168), so a band is an exact linear
+    reparameterization: vertical' = vertical * rows/H and
+    llc' = llc + vertical * (H - rows - row0)/H reproduce the full-image
+    directions up to one f32 rounding.  Differentiable in (cam, row0), so
+    camera cotangents chain back through the band construction for free.
+    """
+    s = jnp.float32(rows / total_height)
+    shift = ((jnp.float32(total_height - rows) - row0)
+             * jnp.float32(1.0 / total_height))
+    return cam._replace(vertical=cam.vertical * s,
+                        llc=cam.llc + cam.vertical * shift)
+
+
+def _apply_update(optimizer, state, grads, loss, trainable):
+    if trainable is not None:
+        grads = jax.tree.map(
+            lambda g, m: g * jnp.asarray(m, g.dtype), grads, trainable)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.spheres)
+    spheres = optax.apply_updates(state.spheres, updates)
+    # radii must stay positive
+    spheres = spheres._replace(
+        radius=jnp.maximum(spheres.radius, 1e-2),
+        color=jnp.clip(spheres.color, 0.0, 1.0))
+    return InverseState(spheres, opt_state), loss
+
+
+def make_train_step_pallas(optimizer: optax.GradientTransformation,
+                           mesh: Mesh, width: int, height: int,
+                           max_depth: int = 5, interpret: bool = False,
+                           trainable: Spheres | None = None,
+                           **diff_kwargs):
+    """Sharded train step whose fwd+bwd engine is the FLAGSHIP Pallas
+    renderer (grad/pallas_diff: record-mode megakernel forward + fused
+    replay backward) — the north-star configuration end to end: each
+    device renders and differentiates a horizontal band of the image (a
+    ``band_camera`` reparameterization, no kernel changes), and sphere +
+    camera gradients are ``psum``ed over the 'rays' mesh axis.
+
+    Returns step: (state, cam, target_image (h, w, 3)) -> (state, loss).
+    ``step.loss_and_grads(spheres, cam, target_image)`` exposes the raw
+    sharded gradients for validation against the unsharded engine.
+    """
+    from .pallas_diff import make_render_pallas_diff
+
+    n = int(mesh.devices.size)
+    if height % n:
+        raise ValueError(f"height {height} not divisible by mesh size {n}")
+    rows_per = height // n
+    rdiff = make_render_pallas_diff(width, rows_per, max_depth=max_depth,
+                                    interpret=interpret, **diff_kwargs)
+    offsets = (jnp.arange(n, dtype=jnp.float32) * rows_per).reshape(n, 1)
+    rep = P()
+
+    def shard_grads(offs, target_band, spheres, cam):
+        camb = band_camera(cam, offs[0, 0], rows_per, height)
+
+        def loss_fn(sph):
+            colours = rdiff(sph, camb)
+            return jnp.sum((colours - target_band) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(spheres)
+        loss = jax.lax.psum(loss, "rays")
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, "rays"), grads)
+        return loss, grads
+
+    def loss_and_grads(spheres, cam, target_image):
+        # check_vma=False: pallas_call does not propagate varying-manual-
+        # axes metadata (same caveat as parallel/mesh.render_pallas_sharded);
+        # correctness is pinned by the sharded-vs-unsharded gradient test.
+        sharded = jax.shard_map(
+            shard_grads, mesh=mesh,
+            in_specs=(P("rays"), P("rays"),
+                      jax.tree.map(lambda _: rep, spheres),
+                      jax.tree.map(lambda _: rep, cam)),
+            out_specs=(rep, jax.tree.map(lambda _: rep, spheres)),
+            check_vma=False)
+        return sharded(offsets, jnp.asarray(target_image, jnp.float32),
+                       spheres, cam)
+
+    def step(state: InverseState, cam: Camera, target_image):
+        loss, grads = loss_and_grads(state.spheres, cam, target_image)
+        return _apply_update(optimizer, state, grads, loss, trainable)
+
+    step.loss_and_grads = loss_and_grads
+    return step
+
+
 def make_train_step(optimizer: optax.GradientTransformation, mesh: Mesh,
                     max_depth: int = 5, oracle_mode: str = "brute",
                     trainable: Spheres | None = None):
@@ -72,17 +165,7 @@ def make_train_step(optimizer: optax.GradientTransformation, mesh: Mesh,
                       P("rays"), P("rays"), P("rays")),
             out_specs=(rep, jax.tree.map(lambda _: rep, state.spheres)))
         loss, grads = sharded(state.spheres, origins, dirs, target)
-        if trainable is not None:
-            grads = jax.tree.map(
-                lambda g, m: g * jnp.asarray(m, g.dtype), grads, trainable)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.spheres)
-        spheres = optax.apply_updates(state.spheres, updates)
-        # radii must stay positive
-        spheres = spheres._replace(
-            radius=jnp.maximum(spheres.radius, 1e-2),
-            color=jnp.clip(spheres.color, 0.0, 1.0))
-        return InverseState(spheres, opt_state), loss
+        return _apply_update(optimizer, state, grads, loss, trainable)
 
     return step
 

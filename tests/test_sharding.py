@@ -181,3 +181,46 @@ def test_sharded_pallas_deep_twophase_bitexact():
                                                max_depth=50,
                                                interpret=True))
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_sharded_pallas_inverse_matches_unsharded_grads():
+    """make_train_step_pallas shards the FLAGSHIP fwd+bwd engine (record
+    megakernel forward + fused replay backward) over the 8-device mesh via
+    band cameras; its psum'd loss and sphere gradients must match the
+    unsharded pallas-diff engine (the band reparameterization is exact up
+    to one f32 rounding per ray direction)."""
+    from raytracers_tpu.grad.inverse import make_train_step_pallas
+    from raytracers_tpu.grad.pallas_diff import make_render_pallas_diff
+
+    H = W = 32
+    true = _mini()
+    pert = true._replace(
+        radius=true.radius * jnp.asarray([1.15, 0.9], jnp.float32),
+        color=jnp.clip(true.color + 0.1, 0.0, 1.0))
+    cam = camera((0., 0., 2.), (0., 0., -5.), (0., 1., 0.), 60.0, 1.0)
+
+    rdiff_full = make_render_pallas_diff(W, H, max_depth=3, interpret=True)
+    target = rdiff_full(true, cam)
+
+    def loss_u(s):
+        return jnp.sum((rdiff_full(s, cam) - target) ** 2)
+
+    lu, gu = jax.value_and_grad(loss_u)(pert)
+
+    opt = optax.adam(1e-2)
+    step = make_train_step_pallas(opt, ray_mesh(), W, H, max_depth=3,
+                                  interpret=True)
+    ls, gs = step.loss_and_grads(pert, cam, target)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(lu),
+                               rtol=1e-5, atol=1e-6)
+    for a, b, name in zip(jax.tree.leaves(gs), jax.tree.leaves(gu),
+                          ("center", "radius", "color")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+    # and the full optimizer step runs + first steps reduce the loss
+    state = InverseState(pert, opt.init(pert))
+    state, l0 = step(state, cam, target)
+    for _ in range(3):
+        state, l1 = step(state, cam, target)
+    assert float(l1) < float(l0)
