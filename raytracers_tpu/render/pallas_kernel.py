@@ -178,6 +178,20 @@ def build_pallas_scene(sph: Spheres,
         # CR=LANE rows at C > 128; one global block otherwise)
         segs = [b0 + jnp.argsort(dist[b0:min(b0 + LANE, C)])
                 for b0 in range(0, C, LANE)]
+        n_full = C // LANE
+        if n_full >= 2:
+            # scene-scale: ALSO order the full blocks front-to-back (the
+            # partial tail block stays last — padding-flag zeroing and the
+            # static per-block visit counts rely on it).  The sweep walks
+            # blocks in array order and the occlusion gate prunes clusters
+            # behind the current best hit, so near blocks first maximise
+            # pruning of the far ones; each block's members (and hence its
+            # super-union AABB) travel with it untouched.
+            blk_d = jnp.stack([jnp.min(dist[b0:b0 + LANE])
+                               for b0 in range(0, n_full * LANE, LANE)])
+            border = jnp.argsort(blk_d)
+            full = jnp.stack(segs[:n_full])
+            segs = [full[border].reshape(-1)] + segs[n_full:]
         perm = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
         leaf_min, leaf_max = leaf_min[perm], leaf_max[perm]
         order2d = order2d[perm]
