@@ -205,9 +205,13 @@ def build_radix_tree(codes) -> RadixTree:
     instead of ~3 log n gather-loop iterations per node."""
     codes = jnp.asarray(codes, jnp.uint32)
     n = codes.shape[0]
+    if n >= (1 << 21):
+        # the packed (delta << 21 | idx) argmin field holds 21 index bits;
+        # beyond 2M leaves fall back to the search build (cluster counts
+        # this large are far past any current workload)
+        return build_radix_tree_searches(codes)
     n_inner = n - 1
     m = n_inner                       # adjacent-delta count
-    assert n < (1 << 21), "packed argmin index field is 21 bits"
     kmax = max(1, int(m - 1).bit_length())
 
     A = adjacent_deltas(codes)                       # (m,)

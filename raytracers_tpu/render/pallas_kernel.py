@@ -1253,6 +1253,7 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     zeros = jnp.zeros((nt2, 1, t2), jnp.float32)
 
     if coherent:
+        from ..bvh.morton import morton3d
         # scene bounds for position quantization (cluster padding is
         # +inf mins / -inf maxs: neutral under min/max)
         sc_mn = scene.aabbT[:, :, 0:3].reshape(-1, 3).min(axis=0)
@@ -1289,7 +1290,6 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
         # image-space coherence for free)
         dead = (active <= 0.0).astype(jnp.int32)
         if coherent:
-            from ..bvh.morton import morton3d
             octant = ((flat[3] < 0).astype(jnp.int32)
                       | ((flat[4] < 0).astype(jnp.int32) << 1)
                       | ((flat[5] < 0).astype(jnp.int32) << 2))
