@@ -87,10 +87,11 @@ def render(prepared: PreparedScene, height: int, width: int,
         # Measured-best configs by scene class (tools/sweep_schedule.py,
         # tools/ab_twophase_cfg.py, v5e 1000x1000 d50):
         # * C <= 16 (rgbbox-class, dense sweeps): tile 2048/(64,32),
-        #   schedule (4, 8) — packed phase-2 tiles averaged ~32 further
-        #   bounces (mirror traps); the second 4.3 ms boundary caps that
-        #   and a depth-4 first boundary sheds dead rays 2 bounces
-        #   earlier ((6,) 75.1 -> (6,8) 61.5 -> (4,8) 58.4 ms).
+        #   schedule (3, 4, 8) — packed phase-2 tiles averaged ~32 further
+        #   bounces (mirror traps); each boundary sheds the rays dead by
+        #   its depth cap ((6,) 75.1 -> (6,8) 61.5 -> (4,8) 58.4 ->
+        #   (3,4,8) 54.5 ms; neighbours (3,3,8)/(2,4,8)/(3,4,6) all lose,
+        #   a fourth boundary (3,4,8,12) costs more than it compacts).
         # * 16 < C <= 128 (irreg-class, culled sweeps): same tiles,
         #   schedule (3, 8) (50.9 -> 48.1 ms: shallow mean depth, small
         #   deep tail).
@@ -103,7 +104,7 @@ def render(prepared: PreparedScene, height: int, width: int,
             default_sched = (6,)
         else:
             tile, block = 2048, (64, 32)
-            default_sched = (4, 8) if C <= 16 else (3, 8)
+            default_sched = (3, 4, 8) if C <= 16 else (3, 8)
         if schedule is None:
             schedule = ((phase1_depth,) if phase1_depth is not None
                         else default_sched)
