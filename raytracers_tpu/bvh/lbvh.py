@@ -192,6 +192,30 @@ def _skip_links(tree: RadixTree, sweeps):
     return miss
 
 
+def _sort_by_morton(spheres: Spheres):
+    """Morton-sort the spheres with ONE fused multi-operand ``lax.sort``
+    (key + 8 payload columns in a single pass) instead of argsort + 7
+    random gathers — the same measured lesson as the render path's
+    boundary sorts (docs/PERF_NOTES.md: a 1M random gather is ~0.9 ms on
+    v5e; the fused sort moves all operands in one pass).  Stable, so
+    equal-code sphere order (and hence every downstream golden) is
+    bit-identical to the argsort formulation.
+
+    Returns (sorted_spheres, perm, sorted_codes)."""
+    boxes = sphere_aabb(spheres)
+    codes = morton_codes(centre(boxes))
+    n = codes.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    c, r, col = spheres.center, spheres.radius, spheres.color
+    out = jax.lax.sort(
+        [codes, iota, c[:, 0], c[:, 1], c[:, 2], r,
+         col[:, 0], col[:, 1], col[:, 2]],
+        dimension=0, num_keys=1, is_stable=True)
+    sorted_spheres = Spheres(jnp.stack(out[2:5], axis=1), out[5],
+                             jnp.stack(out[6:9], axis=1))
+    return sorted_spheres, out[1], out[0]
+
+
 class Clusters(NamedTuple):
     """Morton-sorted leaf clustering WITHOUT the Karras tree.
 
@@ -224,11 +248,7 @@ def build_clusters(spheres: Spheres, leaf_size: int = 1) -> Clusters:
         n_leaves = -(-n // leaf_size)
     m = n_leaves * leaf_size
 
-    boxes = sphere_aabb(spheres)
-    codes = morton_codes(centre(boxes))
-    perm = jnp.argsort(codes, stable=True).astype(jnp.int32)
-    sorted_spheres = Spheres(spheres.center[perm], spheres.radius[perm],
-                             spheres.color[perm])
+    sorted_spheres, perm, _ = _sort_by_morton(spheres)
     sorted_spheres, order = _pad_spheres(sorted_spheres, perm, m)
 
     sb = sphere_aabb(sorted_spheres)
@@ -249,12 +269,7 @@ def build_bvh(spheres: Spheres, leaf_size: int = 1) -> Bvh:
         n_leaves = -(-n // leaf_size)
     m = n_leaves * leaf_size
 
-    boxes = sphere_aabb(spheres)
-    codes = morton_codes(centre(boxes))
-    perm = jnp.argsort(codes, stable=True).astype(jnp.int32)
-    sorted_spheres = Spheres(spheres.center[perm], spheres.radius[perm],
-                             spheres.color[perm])
-    sorted_codes = codes[perm]
+    sorted_spheres, perm, sorted_codes = _sort_by_morton(spheres)
     sorted_spheres, order = _pad_spheres(sorted_spheres, perm, m)
 
     # Cluster AABBs: radius-0 padding cannot extend a cluster's bounds.
