@@ -79,20 +79,23 @@ def _quad(ox, oy, oz, dx, dy, dz, cx, cy, cz, rad):
     inv_a = 1.0 / a
     t0 = (-b - sq) * inv_a
     t1 = (-b + sq) * inv_a
-    # search phase (pallas_kernel.py visit): far-root fallback, no upper
-    # bound, miss -> BIG.  SELECTOR ONLY — window bounds carry no
-    # gradient (they only pick the branch), so t_search has no cotangent.
+    # search phase (pallas_kernel.py visit): a-scaled m = a*t candidates
+    # with far-root fallback, no upper bound, miss -> BIG.  SELECTOR
+    # ONLY — window bounds carry no gradient (they only pick the
+    # branch), so the search value has no cotangent.
     eps = jnp.float32(SCENE_EPSILON)
-    use0 = t0 > eps
-    ts = jnp.where(use0, t0, t1)
-    tv = jnp.where(pos & (ts > eps), ts, _BIG)
-    # the forward's best_t came from the packed (t | lane) key with the
-    # 7 lane bits cleared — reproduce the floor exactly
-    best_t = jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(tv, jnp.int32) & jnp.int32(_KEY_MASK),
+    epsa = eps * a
+    m0 = -b - sq
+    use0 = m0 > epsa
+    ms = jnp.where(use0, m0, -b + sq)
+    mv = jnp.where(pos & (ms > epsa), ms, _BIG)
+    # the forward's best m came from the packed (m | lane) key with the
+    # 7 lane bits cleared — reproduce the floor, then unscale, exactly
+    best_m = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(mv, jnp.int32) & jnp.int32(_KEY_MASK),
         jnp.float32)
     # widened re-intersection window (T_MIN, best_t + 1)  (ray.fut:84-85)
-    w_hi = best_t + 1.0
+    w_hi = best_m * inv_a + 1.0
     ok0 = (t0 < w_hi) & (t0 > jnp.float32(T_MIN))
     t2 = jnp.where(ok0, t0, t1)
     return (t2, ok0, ocx, ocy, ocz, a, b, c2, sq, inv_a)

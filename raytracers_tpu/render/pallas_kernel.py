@@ -96,12 +96,22 @@ class PallasScene(NamedTuple):
     ``superT``: (1, SBR, 8) f32 — per-BLOCK union AABBs (SBR =
     roundup(CB, 8)): the level-1 cull table for scene-scale rendering.
     ``order`` maps (cluster*128 + lane) -> original sphere index (-1 pad).
+    ``tailT``/``tail8``: (P, 8) / (8, P) f32 — the LAST cluster's first P
+    rows, P = the real (non-padding) sphere count rounded up to a
+    power-of-two sublane multiple.  When P < 128 the kernel peels the
+    final cluster into a P-row visit: rgbbox's 400 spheres become
+    3 full visits + one 16-row visit instead of 4 full ones (the 112
+    padding slots were 22% of its dense intersection work).  P == 128
+    (tail full, or front-to-back sorting moved the partial cluster)
+    disables the peel.
     """
     sphT: jnp.ndarray
     sph8: jnp.ndarray
     aabbT: jnp.ndarray
     superT: jnp.ndarray
     order: jnp.ndarray
+    tailT: jnp.ndarray
+    tail8: jnp.ndarray
 
     @property
     def n_clusters(self) -> int:
@@ -244,19 +254,33 @@ def build_pallas_scene(sph: Spheres,
         jnp.zeros((SBR, 2), jnp.float32),
     ], axis=1)[None, :, :]                                # (1, SBR, 8)
 
+    # Tail-cluster peel tables: only when the partial cluster is still
+    # LAST (the C > 16 front-to-back sort moves it) — round its real-row
+    # count up to a power-of-two sublane multiple for the min slice-tree.
+    n_tail = n - (C - 1) * LANE
+    P = LANE
+    if perm is None and n_tail < LANE:
+        P = 8
+        while P < n_tail:
+            P *= 2
     return PallasScene(sphT=sphT, sph8=sph8, aabbT=aabbT, superT=superT,
-                       order=order2d)
+                       order=order2d,
+                       tailT=sphT[C - 1, :P, :], tail8=sph8[C - 1, :, :P])
 
 
 N_STATE = 13   # ox oy oz dx dy dz lr lg lb rr rg rb active
 
 
 def _min_sublanes(x):
-    """(128, T) -> (1, T) min via a static slice tree: 4 halvings to
-    (8, T), then the in-vreg sublane reduce (≈90 cycles vs 395 naive)."""
+    """(P, T) -> (1, T) min via a static slice tree: halvings down to
+    (8, T), then the in-vreg sublane reduce (≈90 cycles vs 395 naive
+    at P=128).  P must be 8 * a power of two (so every slice stays
+    sublane-aligned)."""
     m = x
-    for s in (64, 32, 16, 8):
+    s = x.shape[0] // 2
+    while s >= 8:
         m = jnp.minimum(m[:s, :], m[s:2 * s, :])
+        s //= 2
     return jnp.min(m, axis=0, keepdims=True)
 
 
@@ -265,6 +289,8 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 sph8_ref,                 # VMEM (C, 8, 128) f32
                 aabb_ref,                 # VMEM (CB, CR, 8) f32
                 super_ref,                # VMEM (1, SBR, 8) f32 block AABBs
+                tailT_ref,                # VMEM (P, 8) f32 tail-peel rows
+                tail8_ref,                # VMEM (8, P) f32 (transposed)
                 *refs,                    # [13 state_in] outputs, scratches
                 tile: int, n_clusters: int, max_depth: int,
                 far_root: bool, cull: bool, gen_rays: bool = True,
@@ -378,7 +404,6 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         dense at G=256 under occlusion), and fully-dead groups skip
         for free."""
         a = dx * dx + dy * dy + dz * dz
-        inv_a = 1.0 / a
         inv_dx = 1.0 / dx
         inv_dy = 1.0 / dy
         inv_dz = 1.0 / dz
@@ -404,6 +429,9 @@ def _megakernel(params_ref,               # SMEM (24,) f32
             ok = ~(hi <= lo) & jnp.broadcast_to(act, lo.shape)
             return ok.astype(jnp.float32)
 
+        # (flag-count reductions stay on the VPU: routing them through
+        # an MXU ones-dot was measured a consistent slight LOSS — the
+        # visit gates' scalar conds then wait on MXU latency.)
         def slab_counts(blk):
             return jnp.sum(slab_ok(blk, ox, oy, oz, inv_dx, inv_dy,
                                    inv_dz, active_b),
@@ -458,18 +486,25 @@ def _megakernel(params_ref,               # SMEM (24,) f32
             ls = slice(lg * G, (lg + 1) * G)
             oxg, oyg, ozg = ox[:, ls], oy[:, ls], oz[:, ls]
             dxg, dyg, dzg = dx[:, ls], dy[:, ls], dz[:, ls]
-            ag, inv_ag = a[:, ls], inv_a[:, ls]
+            ag = a[:, ls]
+            epsa = eps * ag           # the m = a*t eps window, per ray
             invdx, invdy, invdz = (inv_dx[:, ls], inv_dy[:, ls],
                                    inv_dz[:, ls])
             frow = lg * ROWS          # this group's flag-row base
 
-            def visit(c, carry):
+            def visit(c, carry, tail=False):
                 anyhit = (hits_ref[frow + c, 0] if cull
                           else jnp.float32(1.0))
 
                 def do_visit(carry):
                     krun, pay = carry[0], carry[1]
-                    if hbm_spheres:
+                    if tail:
+                        # peeled partial FINAL cluster: only its P real
+                        # rows (rgbbox: 16 of 128 — the padding slots
+                        # were 22% of the dense intersection work)
+                        blkT = tailT_ref[:, :]               # (P, 8)
+                        blk8 = tail8_ref[:, :]               # (8, P)
+                    elif hbm_spheres:
                         # sphere tables exceed VMEM at this C: stream the
                         # cluster's (8,128) block from HBM (lane-aligned
                         # DMA; a (128,8) slice would violate Mosaic
@@ -479,41 +514,63 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                         d8.start()
                         d8.wait()
                         blkT = jnp.swapaxes(buf8_ref[:, :], 0, 1)
+                        blk8 = buf8_ref[:, :]
                     else:
                         blkT = sphT_ref[pl.ds(c, 1), :, :].reshape(LANE, 8)
-                    sx = blkT[:, _F_CX:_F_CX + 1]        # (128, 1)
+                        blk8 = sph8_ref[pl.ds(c, 1), :, :].reshape(8, LANE)
+                    P = blkT.shape[0]
+                    lanes = (lane_col if P == LANE else
+                             jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0))
+                    sx = blkT[:, _F_CX:_F_CX + 1]        # (P, 1)
                     sy = blkT[:, _F_CY:_F_CY + 1]
                     sz = blkT[:, _F_CZ:_F_CZ + 1]
                     r2 = blkT[:, _F_R2:_F_R2 + 1]
-                    ocx = oxg - sx                       # (128, G)
+                    ocx = oxg - sx                       # (P, G)
                     ocy = oyg - sy
                     ocz = ozg - sz
                     b_ = ocx * dxg + ocy * dyg + ocz * dzg
                     c_ = ocx * ocx + ocy * ocy + ocz * ocz - r2
                     disc = b_ * b_ - ag * c_
                     pos = disc > 0.0
-                    sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
-                    t0 = (-b_ - sq) * inv_ag
-                    use0 = t0 > eps
+                    # no where() before the sqrt: a miss's NaN sq flows
+                    # into m0/m1 but every consumer is masked by pos
+                    # (use0 and m>epsa are false on NaN) — value-identical
+                    # to sqrt(where(pos, disc, 1)) and one op cheaper
+                    sq = jnp.sqrt(disc)
+                    # a-scaled candidates: compare m = a*t = -b ∓ sqrt
+                    # instead of t itself.  a = |d|² is PER-RAY, so the
+                    # ordering across the sweep's spheres is exactly t's
+                    # (multiplying by the same positive inv_a is monotone
+                    # in f32) and the two per-slot inv_a multiplies are
+                    # saved; the eps window test moves to m > a*eps
+                    # (1-ulp-of-eps boundary, inside the 2^-16 key floor
+                    # already accepted).  Constraint: a real hit needs
+                    # a*t < T_MAX for the BIG sentinel to stay the max —
+                    # holds for any sane camera (reference scenes:
+                    # a*t < ~1e5 vs 1e9).  bounce_body unscales the
+                    # winner with one (1,T) multiply.
+                    m0 = -b_ - sq
+                    use0 = m0 > epsa
                     if far_root:
-                        t1 = (-b_ + sq) * inv_ag
-                        t = jnp.where(use0, t0, t1)
+                        m1 = -b_ + sq
+                        m = jnp.where(use0, m0, m1)
+                        tv = jnp.where(pos & (m > epsa), m, _BIG)
                     else:
-                        t = jnp.where(use0, t0, _BIG)
-                    tv = jnp.where(pos & (t > eps), t, _BIG)
+                        # near-root only: m>epsa after the m0/BIG select
+                        # is exactly pos & use0 (BIG > a*eps trivially)
+                        tv = jnp.where(pos & use0, m0, _BIG)
                     key = ((jax.lax.bitcast_convert_type(tv, jnp.int32)
-                            & key_mask) | lane_col)
+                            & key_mask) | lanes)
                     kmin = _min_sublanes(key)            # (1, G)
                     imp_b = kmin < krun
                     impf = imp_b.astype(jnp.float32)
-                    # one-hot masked by 'improved'; the (8,128)@(128,G)
-                    # dot reads back the winner's fields EXACTLY (single
-                    # nonzero term per output; 3-pass bf16 covers f32)
-                    onehot = (key == kmin).astype(jnp.float32) * impf
-                    if hbm_spheres:
-                        blk8 = buf8_ref[:, :]
-                    else:
-                        blk8 = sph8_ref[pl.ds(c, 1), :, :].reshape(8, LANE)
+                    # the (8,P)@(P,G) dot reads back the winner's fields
+                    # EXACTLY (single nonzero term per output; 3-pass
+                    # bf16 covers f32); the 'improved' mask multiplies
+                    # the (8,G) RESULT, not the (P,G) one-hot — impf is
+                    # exactly 0/1 so the values are identical and the
+                    # wide mask multiply is saved
+                    onehot = (key == kmin).astype(jnp.float32)
                     pay_c = jax.lax.dot_general(
                         blk8, onehot,
                         (((1,), (0,)), ((), ())),
@@ -521,7 +578,7 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                         preferred_element_type=jnp.float32)  # (8, G)
                     # select-free exact update (Mosaic has no (1,G)->(8,G)
                     # select_n broadcast): pay*0 + pay_c  or  pay*1 + 0
-                    pay = pay * (1.0 - impf) + pay_c
+                    pay = pay * (1.0 - impf) + pay_c * impf
                     krun = jnp.minimum(krun, kmin)
                     if record:
                         cidx = carry[2]
@@ -563,7 +620,14 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                     best_f = jax.lax.bitcast_convert_type(
                         carry[0] & key_mask, jnp.float32)
                     ok = ~(jnp.minimum(hi, _BIG) <= jnp.maximum(lo, T_MIN))
-                    ok &= lo < best_f
+                    # best_f is in m = a*t units (see do_visit): compare
+                    # the slab's t-space entry against best_f/a as
+                    # lo * a < best_f (a > 0).  fail-if polarity (~>=):
+                    # a NaN lo (origin exactly on an axis-parallel slab
+                    # plane) must KEEP the cluster, matching slab_ok's
+                    # NaN-reports-HIT convention — 'lo < best_f' would
+                    # silently skip it.
+                    ok &= ~(lo * ag >= best_f)
                     n_ok = jnp.sum(ok.astype(jnp.float32))
                     return jax.lax.cond(n_ok > 0.0, do_visit, lambda x: x,
                                         carry)
@@ -594,10 +658,22 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                         lambda x: x, carry)
                 return carry
 
+            # tail-cluster peel: single-block sweeps visit the last
+            # cluster at its real row count P < 128 (build_pallas_scene
+            # keeps the partial cluster last exactly when P < 128)
+            peel = (tailT_ref.shape[0] < LANE and not hbm_spheres
+                    and not (cull and CB > 1))
             if not (cull and CB > 1):
-                return sweep_range(0, C, init)
+                carry = sweep_range(0, C - 1 if peel else C, init)
+                if peel:
+                    carry = visit(C - 1, carry, tail=True)
+                return carry
             if CB <= 4:
-                # unrolled: per-block scalar gate around each cluster run
+                # unrolled: per-block scalar gate around each cluster run.
+                # Do NOT raise this threshold: at CB=7 (plane-100k) the
+                # unroll measured 388 ms vs the dynamic path's 144 at the
+                # same tile/schedule — ~112 static cond regions explode
+                # the kernel code size (tools/ab_plane_bigtile.py).
                 carry = init
                 for cb in range(CB):
                     n_in_block = min(CR, C - cb * CR)
@@ -647,7 +723,7 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         ch = closest_hit(ox, oy, oz, dx, dy, dz, active)
         krun, pay = ch[0], ch[1]
         hit_b = krun < jnp.int32(_HIT_TH)
-        best_t = jax.lax.bitcast_convert_type(krun & key_mask, jnp.float32)
+        best_m = jax.lax.bitcast_convert_type(krun & key_mask, jnp.float32)
 
         # row extraction by masked sublane-sum: exact (other rows are
         # exactly zero) and yields canonical-layout (1,T) values, which
@@ -681,7 +757,8 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         inv_a = 1.0 / a
         t0 = (-b_ - sq) * inv_a
         t1 = (-b_ + sq) * inv_a
-        w_hi = best_t + 1.0
+        # unscale the winner's a*t key back to t for the widened window
+        w_hi = best_m * inv_a + 1.0
         ok0 = (t0 < w_hi) & (t0 > T_MIN)
         t2 = jnp.where(ok0, t0, t1)
 
@@ -1096,12 +1173,16 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
     SBR = scene.superT.shape[1]
     sph_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm_spheres
                  else None)
+    P = scene.tailT.shape[0]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 sph_space or vm((C, LANE, 8), lambda i: (0, 0, 0)),
                 sph_space or vm((C, 8, LANE), lambda i: (0, 0, 0)),
                 vm((CB, CR, 8), lambda i: (0, 0, 0)),
-                vm((1, SBR, 8), lambda i: (0, 0, 0))]
-    args = [params, scene.sphT, scene.sph8, scene.aabbT, scene.superT]
+                vm((1, SBR, 8), lambda i: (0, 0, 0)),
+                vm((P, 8), lambda i: (0, 0)),
+                vm((8, P), lambda i: (0, 0))]
+    args = [params, scene.sphT, scene.sph8, scene.aabbT, scene.superT,
+            scene.tailT, scene.tail8]
     if not gen_rays:
         in_specs += [vm((1, 1, tile), lambda i: (i, 0, 0))] * N_STATE
         args += list(state_in)

@@ -27,6 +27,28 @@ def test_pallas_depth1_exact(scene_name):
     np.testing.assert_array_equal(img, ref)
 
 
+@pytest.mark.parametrize("n,want_p", [(37, 64), (300, 64), (385, 8)])
+def test_pallas_tail_peel_exact(n, want_p):
+    """The peeled partial final cluster (P < 128 real rows) must not
+    change results: depth-1 renders stay bit-exact vs the brute oracle
+    for sphere counts that leave ragged tails (single-cluster, mid, and
+    a 1-sphere tail)."""
+    from raytracers_tpu.geometry import Spheres
+    from raytracers_tpu.render.bruteforce import make_closest_hit
+    from raytracers_tpu.render.tracer import render_packed
+    full = scenes.by_name("irreg").spheres
+    sph = Spheres(full.center[:n], full.radius[:n], full.color[:n])
+    ps = build_pallas_scene(sph)
+    assert ps.tailT.shape[0] == want_p, (n, ps.tailT.shape)
+    w = h = 48
+    cam = camera((-8., 4., 6.), (0., 1., 0.), (0., 1., 0.), 80.0, w / h)
+    img = np.asarray(render_pallas(ps, cam, w, h, max_depth=1, tile=256,
+                                   interpret=True))
+    ref = np.asarray(render_packed(make_closest_hit(sph, "precise"), sph,
+                                   cam, w, h, max_depth=1, chunk=512))
+    np.testing.assert_array_equal(img, ref)
+
+
 def test_pallas_front_to_back_order_exact():
     """Front-to-back cluster ordering (build_pallas_scene sort_origin, the
     api.prepare_scene default) must not change closest-hit results: depth-1
