@@ -101,7 +101,9 @@ def render_pallas_sharded(scene, cam, height: int, width: int,
         else:
             tile, block = 2048, (64, 32)
     if schedule is None:
-        schedule = ((4, 8) if C <= 16 else (3, 8)) if C <= 128 else (6,)
+        # same measured-best schedules as the unsharded api.render
+        # defaults (each shard's slab sorts independently)
+        schedule = ((3, 4, 8) if C <= 16 else (3, 8)) if C <= 128 else (3, 6)
     bh = block[0] if block is not None else 1
     rows_per = -(-height // (n * bh)) * bh       # slab height, block-aligned
     hp = rows_per * n

@@ -95,13 +95,16 @@ def render(prepared: PreparedScene, height: int, width: int,
         # * 16 < C <= 128 (irreg-class, culled sweeps): same tiles,
         #   schedule (3, 8) (50.9 -> 48.1 ms: shallow mean depth, small
         #   deep tail).
-        # * C > 128 (scene-scale, multi-block sweeps): tile 512/(32,16),
-        #   single boundary (6,) — tile 2048 crashes the Mosaic compiler
-        #   on the multi-block path and big scenes are visit-bound anyway.
+        # * C > 128 (scene-scale, multi-block sweeps): tile 512/(32,16)
+        #   — tile 2048 crashes the Mosaic compiler on the multi-block
+        #   path — schedule (3, 6) (round-3 re-sweep: 128.2 ms vs 147.1
+        #   at the old (6,); with the trimmed visit the dead-tile
+        #   capping dominates even on visit-bound big scenes.  (3,8)
+        #   131.8, (3,5) 130.8, (2,6) 158.8, (3,6,12) 134.0).
         C = prepared.pallas.n_clusters
         if C > 128:
             tile, block = 512, (32, 16)
-            default_sched = (6,)
+            default_sched = (3, 6)
         else:
             tile, block = 2048, (64, 32)
             default_sched = (3, 4, 8) if C <= 16 else (3, 8)
