@@ -1238,8 +1238,23 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
                            lane_groups: int | None = None,
                            schedule: tuple | None = None,
                            coherent: bool = False,
-                           occl_cont: bool = False):
+                           occl_cont: bool = False,
+                           seg_tiles: int | None = None):
     """Multi-phase render with survivor compaction between phases.
+
+    ``seg_tiles``: compact within independent segments of that many
+    tiles instead of globally — rays never leave their segment, so the
+    boundary (and the final unpermute) become a batched (S, L) axis-1
+    ``lax.sort``, measured ~25% cheaper than one (Rp,) sort
+    (tools/microbench_sortkeys.py).  Survivors pack per segment, so up
+    to S-1 extra partial tiles stay live per phase; the image is
+    bit-identical (per-ray arithmetic is order-independent and the
+    unpermute restores ray order segment-wise).  None = global.
+    MEASURED NET LOSS at 1000x1000 (tools/ab_seg_sort.py: rgbbox
+    47.8 -> 58.5/52.6 ms at seg_tiles 8/16, irreg and plane likewise):
+    the extra per-segment partial tiles cost more deep-phase kernel
+    time than the batched sort saves.  Kept for experiments; the
+    default (None) is the measured-best global sort.
 
     A tile's bounce loop runs until its DEEPEST ray dies; with measured
     (32,16)-tile max depth ~21 vs mean ray depth ~4 on rgbbox
@@ -1333,6 +1348,19 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     nt2 = Rp // t2
     zeros = jnp.zeros((nt2, 1, t2), jnp.float32)
 
+    # segmented boundary sorts (see seg_tiles in the docstring);
+    # coherent repacking moves rays globally, so it forces S=1
+    S = (nt2 // seg_tiles if seg_tiles and not coherent
+         and nt2 % seg_tiles == 0 and nt2 > seg_tiles else 1)
+    L = Rp // S
+
+    def bsort(ops):
+        if S == 1:
+            return jax.lax.sort(ops, dimension=0, num_keys=1)
+        out = jax.lax.sort([o.reshape(S, L) for o in ops], dimension=1,
+                           num_keys=1)
+        return [o.reshape(Rp) for o in out]
+
     if coherent:
         from ..bvh.morton import morton3d
         # scene bounds for position quantization (cluster padding is
@@ -1385,8 +1413,7 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
             idx = sorted_all[11]
         else:
             key = (dead << 30) | idx
-            sorted_all = jax.lax.sort([key] + flat[:9] + [acc_pix],
-                                      dimension=0, num_keys=1)
+            sorted_all = bsort([key] + flat[:9] + [acc_pix])
             key_sorted = sorted_all[0]
             active_sorted = (key_sorted >> 30) == 0
             idx = key_sorted & ((1 << 30) - 1)
@@ -1409,9 +1436,8 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     # phases' colours bit-for-bit.
     active_sorted = state_in[-1].reshape(Rp) > 0.0
     out_sorted = out.reshape(Rp)
-    _, act_b, out_b, acc_b = jax.lax.sort(
-        [idx, active_sorted.astype(jnp.int32), out_sorted, acc_pix],
-        dimension=0, num_keys=1)
+    _, act_b, out_b, acc_b = bsort(
+        [idx, active_sorted.astype(jnp.int32), out_sorted, acc_pix])
     unsorted = jnp.where(act_b == 1, out_b, acc_b)
     if block is not None:
         img = (unsorted.reshape(hp // bh, wp // bw, bh, bw)

@@ -118,6 +118,21 @@ def test_twophase_bit_identical():
     np.testing.assert_array_equal(a, b)
 
 
+def test_twophase_segmented_sort_bit_identical():
+    """Segmented boundary sorts (seg_tiles) are a pure repartitioning of
+    the compaction: identical bits, survivors just pack per segment."""
+    from raytracers_tpu.render.pallas_kernel import render_pallas_twophase
+    sc = scenes.irreg()
+    ps = build_pallas_scene(sc.spheres, sort_origin=sc.look_from)
+    cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
+    kw = dict(max_depth=50, schedule=(3, 8), tile=256, block=(16, 16),
+              interpret=True)
+    a = np.asarray(render_pallas_twophase(ps, cam, 64, 64, **kw))
+    b = np.asarray(render_pallas_twophase(ps, cam, 64, 64, seg_tiles=4,
+                                          **kw))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_block_tiled_matches_scanline():
     """2-D block tiling is a pure work-partitioning change: identical bits."""
     sc = scenes.rgbbox()
