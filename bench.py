@@ -163,7 +163,8 @@ def main():
             # second boundary caps the packed deep tail exactly like
             # the plain renderer's schedule)
             f = make_render_pallas_diff(W, H, max_depth=50, tile=2048,
-                                        block=(32, 64), schedule=(4, 8))
+                                        block=(32, 64), schedule=(4, 8),
+                                        sort_prefix=(None, 0.5))
 
             def loss(sph, cam):
                 img = f(sph, cam)

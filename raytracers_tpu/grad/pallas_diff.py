@@ -58,7 +58,8 @@ def make_render_pallas_diff(width: int, height: int,
                             backward: str = "pallas",
                             block: tuple | None = None,
                             phase1_depth: int | None = None,
-                            schedule: tuple | None = None):
+                            schedule: tuple | None = None,
+                            sort_prefix: tuple | None = None):
     """Build a differentiable ``f(spheres, cam) -> colours (h, w, 3)``
     whose forward pass is the Pallas megakernel.
 
@@ -104,7 +105,7 @@ def make_render_pallas_diff(width: int, height: int,
             schedule = (phase1_depth,)
         return _make_render_pallas_diff_kernel(width, height, max_depth,
                                                tile, interpret, block,
-                                               schedule)
+                                               schedule, sort_prefix)
 
     @jax.custom_vjp
     def render_diff(spheres: Spheres, cam: Camera):
@@ -215,7 +216,7 @@ def make_render_pallas_diff(width: int, height: int,
 
 def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
                                     interpret, block=None,
-                                    schedule=None):
+                                    schedule=None, sort_prefix=None):
     """backward="pallas": fused TPU backward replay.
 
     Forward: megakernel record_pay mode (colours + per-bounce winner
@@ -337,7 +338,8 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
             colours, _ = render_pallas_record_twophase(
                 scene, cam, width, height, max_depth=max_depth,
                 schedule=schedule, tile=tile,
-                interpret=interpret, block=block)
+                interpret=interpret, block=block,
+                sort_prefix=sort_prefix)
         else:
             colours, _ = render_pallas_record(
                 scene, cam, width, height, max_depth=max_depth, tile=tile,
@@ -350,7 +352,8 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
             colours, aux = render_pallas_record_twophase(
                 scene, cam, width, height, max_depth=max_depth,
                 schedule=schedule, tile=tile,
-                interpret=interpret, block=block)
+                interpret=interpret, block=block,
+                sort_prefix=sort_prefix)
             return colours, (spheres, cam, aux, scene.order)
         colours, _, rec_raw, pay = render_pallas_record(
             scene, cam, width, height, max_depth=max_depth, tile=tile,
@@ -377,6 +380,15 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
             # previous segment's order, so the ascending key-sort IS the
             # inverse permutation; dead lanes emit exact-zero carries —
             # measured ~10 ms vs ~40+ for the equivalent scatter)
+            # resolve the forward's static boundary sort prefixes (the
+            # suffix beyond a prefix carried an IDENTITY permutation, so
+            # the carry hand-off inverts with the same prefix)
+            pref_rows = [None] * m
+            if sort_prefix is not None:
+                fr = list(sort_prefix)[:m]
+                pref_rows = [None if (f is None or f >= 1.0)
+                             else max(tile, int(Rp * f) // tile * tile)
+                             for f in fr] + [None] * (m - len(fr))
             tab_slot = None
             carry9 = None
             for k in range(m, -1, -1):
@@ -392,9 +404,17 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
                     pos_prev = aux["poskeys"][k - 1] & ((1 << 30) - 1)
                     carr_rows = [carry16[:, r, :].reshape(Rp)
                                  for r in range(9)]
-                    unsorted = jax.lax.sort([pos_prev] + carr_rows,
-                                            dimension=0, num_keys=1)
-                    carry9 = unsorted[1:]
+                    B = pref_rows[k - 1]
+                    if B is not None and 0 < B < Rp:
+                        head = jax.lax.sort(
+                            [pos_prev[:B]] + [r[:B] for r in carr_rows],
+                            dimension=0, num_keys=1)
+                        carry9 = [jnp.concatenate([h, r[B:]])
+                                  for h, r in zip(head[1:], carr_rows)]
+                    else:
+                        unsorted = jax.lax.sort([pos_prev] + carr_rows,
+                                                dimension=0, num_keys=1)
+                        carry9 = unsorted[1:]
                 else:
                     cotray = carry16
         else:

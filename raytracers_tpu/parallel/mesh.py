@@ -101,9 +101,14 @@ def render_pallas_sharded(scene, cam, height: int, width: int,
         else:
             tile, block = 2048, (64, 32)
     if schedule is None:
-        # same measured-best schedules as the unsharded api.render
-        # defaults (each shard's slab sorts independently)
+        # same measured-best schedules + boundary sort prefixes as the
+        # unsharded api.render defaults (each shard's slab sorts
+        # independently; prefixes are exact for any survival rate)
         schedule = ((3, 4, 8) if C <= 16 else (3, 8)) if C <= 128 else (3, 6)
+        sort_prefix = ((None, 0.5, 0.25) if C <= 16
+                       else (None, 0.25))
+    else:
+        sort_prefix = None
     bh = block[0] if block is not None else 1
     rows_per = -(-height // (n * bh)) * bh       # slab height, block-aligned
     hp = rows_per * n
@@ -117,7 +122,8 @@ def render_pallas_sharded(scene, cam, height: int, width: int,
             slab = render_pallas_twophase(
                 scene, cam, width, rows_per, max_depth=max_depth,
                 schedule=schedule, tile=tile, block=block,
-                interpret=interpret, row0=offs[0, 0], total_height=height)
+                interpret=interpret, row0=offs[0, 0], total_height=height,
+                sort_prefix=sort_prefix)
         else:
             slab = render_pallas(scene, cam, width, rows_per,
                                  max_depth=max_depth, tile=tile, block=block,

@@ -101,21 +101,36 @@ def render(prepared: PreparedScene, height: int, width: int,
         #   at the old (6,); with the trimmed visit the dead-tile
         #   capping dominates even on visit-bound big scenes.  (3,8)
         #   131.8, (3,5) 130.8, (2,6) 158.8, (3,6,12) 134.0).
+        # Boundary sorts shrink geometrically with the schedule: boundary
+        # k re-packs only the prefix the previous boundary packed
+        # survivors into (sort_prefix; EXACT for any survival rate —
+        # stragglers beyond the prefix just trace un-packed).  Fractions
+        # upper-bound the measured survivor curves with slack (rgbbox
+        # 45.5%/10.3% at d3/d7; irreg 4.3% at d3); measured: rgbbox
+        # 47.3 -> 41.4 ms, irreg 46.8 -> 42.1, plane 128.5 -> 123.5.
         C = prepared.pallas.n_clusters
         if C > 128:
             tile, block = 512, (32, 16)
             default_sched = (3, 6)
+            default_pref = (None, 0.25)
         else:
             tile, block = 2048, (64, 32)
-            default_sched = (3, 4, 8) if C <= 16 else (3, 8)
+            if C <= 16:
+                default_sched, default_pref = (3, 4, 8), (None, 0.5, 0.25)
+            else:
+                default_sched, default_pref = (3, 8), (None, 0.25)
         if schedule is None:
             schedule = ((phase1_depth,) if phase1_depth is not None
                         else default_sched)
+            sort_prefix = default_pref
+        else:
+            sort_prefix = None
         if max_depth >= 16 and sum(schedule) < max_depth:
             return render_pallas_twophase(
                 prepared.pallas, prepared.cam, width, height,
                 max_depth=max_depth, schedule=schedule,
-                interpret=interpret, tile=tile, block=block)
+                interpret=interpret, tile=tile, block=block,
+                sort_prefix=sort_prefix)
         return render_pallas(prepared.pallas, prepared.cam, width, height,
                              max_depth=max_depth, interpret=interpret,
                              block=(32, 16))

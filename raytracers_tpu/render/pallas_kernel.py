@@ -1008,7 +1008,8 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
                                   interpret: bool = False,
                                   cull: bool | None = None,
                                   block: tuple | None = None,
-                                  schedule: tuple | None = None):
+                                  schedule: tuple | None = None,
+                                  sort_prefix: tuple | None = None):
     """Record-mode forward with survivor compaction between phases
     (render_pallas_twophase's structure, emitting the (rec, pay) records
     each segment needs for the segmented Pallas backward replay).
@@ -1031,6 +1032,14 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
     Per-ray arithmetic is identical to the single-phase record kernel,
     so colours are bit-identical to ``render_pallas_record`` (and to the
     plain renderer).
+
+    ``sort_prefix``: per-boundary static sort-width fractions, as in
+    ``render_pallas_twophase`` — boundary k re-packs only the prefix
+    boundary k-1 packed survivors into; suffix positions pass through
+    with IDENTITY permutation (their poskeys keep encoding their own
+    position), so the backward's carry hand-off inverts with the same
+    prefix.  Exact for any survival rate.  aux["sort_prefix_rows"]
+    carries the resolved static row counts for the backward.
     """
     if cull is None:
         cull = scene.n_clusters > 1
@@ -1059,6 +1068,22 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
     ]).astype(jnp.float32)
 
     zeros = jnp.zeros((num_tiles, 1, tile), jnp.float32)
+    if sort_prefix is None:
+        prefs = [None] * len(schedule)
+    else:
+        prefs = [None if f is None or f >= 1.0
+                 else max(tile, int(Rp * f) // tile * tile)
+                 for f in sort_prefix]
+        prefs += [None] * (len(schedule) - len(prefs))
+
+    def bsort(ops, prefix):
+        if prefix is not None and 0 < prefix < Rp:
+            head = jax.lax.sort([o[:prefix] for o in ops], dimension=0,
+                                num_keys=1)
+            return [jnp.concatenate([h, o[prefix:]])
+                    for h, o in zip(head, ops)]
+        return jax.lax.sort(ops, dimension=0, num_keys=1)
+
     recs, pays, states16, poskeys, idxs = [], [], [], [], []
     idx = jnp.arange(Rp, dtype=jnp.int32)      # original id, current order
     acc = None                                 # dead rays' colours (3 rows)
@@ -1080,8 +1105,7 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
                else [a + f for a, f in zip(acc, flat[9:12])])
         dead = (flat[12] <= 0.0).astype(jnp.int32)
         key = (dead << 30) | jnp.arange(Rp, dtype=jnp.int32)
-        sorted_all = jax.lax.sort([key] + flat[:9] + acc + [idx],
-                                  dimension=0, num_keys=1)
+        sorted_all = bsort([key] + flat[:9] + acc + [idx], prefs[k])
         key_sorted = sorted_all[0]
         poskeys.append(key_sorted)
         acc = list(sorted_all[10:13])
@@ -1239,8 +1263,20 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
                            schedule: tuple | None = None,
                            coherent: bool = False,
                            occl_cont: bool = False,
-                           seg_tiles: int | None = None):
+                           seg_tiles: int | None = None,
+                           sort_prefix: tuple | None = None):
     """Multi-phase render with survivor compaction between phases.
+
+    ``sort_prefix``: per-boundary STATIC sort-width fractions (None or
+    >= 1.0 entries sort the full array).  Boundary k-1 packed survivors
+    into a prefix, so boundary k only needs to re-sort that prefix;
+    entries should upper-bound the expected survivor fraction (plus
+    tile padding).  Exact for ANY survival rate: an active ray beyond
+    the prefix is simply not re-packed — its tile stays live and traces
+    it normally, its colour still lands via acc_pix, and the suffix
+    keys keep carrying ray ids — compaction is an optimization, never
+    a correctness requirement (regression-tested with a deliberately
+    too-small prefix).
 
     ``seg_tiles``: compact within independent segments of that many
     tiles instead of globally — rays never leave their segment, so the
@@ -1354,7 +1390,20 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
          and nt2 % seg_tiles == 0 and nt2 > seg_tiles else 1)
     L = Rp // S
 
-    def bsort(ops):
+    def bsort(ops, prefix=None):
+        """Boundary sort.  ``prefix`` (static row count, t2-aligned)
+        sorts only ops[:prefix] and passes the suffix through untouched:
+        after boundary k-1 packed survivors into a prefix, boundary k
+        only needs to re-pack that prefix — the sort shrinks
+        geometrically with the schedule.  SAFE for any survival rate:
+        an active ray left beyond the prefix is simply not re-packed —
+        its tile stays live and traces it exactly (compaction is an
+        optimization, never a correctness requirement)."""
+        if prefix is not None and 0 < prefix < Rp:
+            head = jax.lax.sort([o[:prefix] for o in ops], dimension=0,
+                                num_keys=1)
+            return [jnp.concatenate([h, o[prefix:]])
+                    for h, o in zip(head, ops)]
         if S == 1:
             return jax.lax.sort(ops, dimension=0, num_keys=1)
         out = jax.lax.sort([o.reshape(S, L) for o in ops], dimension=1,
@@ -1370,6 +1419,14 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
         sc_span = sc_mx - sc_mn
         sc_inv = jnp.where(sc_span > 0, 1.0 / jnp.where(sc_span > 0,
                                                         sc_span, 1.0), 0.0)
+
+    if sort_prefix is None:
+        prefs = [None] * len(schedule)
+    else:
+        prefs = [None if f is None or f >= 1.0
+                 else max(t2, int(Rp * f) // t2 * t2)
+                 for f in sort_prefix]
+        prefs += [None] * (len(schedule) - len(prefs))
 
     state_in = None
     acc_pix = None                    # dead rays' pixels, current order
@@ -1413,7 +1470,8 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
             idx = sorted_all[11]
         else:
             key = (dead << 30) | idx
-            sorted_all = bsort([key] + flat[:9] + [acc_pix])
+            sorted_all = bsort([key] + flat[:9] + [acc_pix],
+                               prefix=prefs[k])
             key_sorted = sorted_all[0]
             active_sorted = (key_sorted >> 30) == 0
             idx = key_sorted & ((1 << 30) - 1)

@@ -133,6 +133,26 @@ def test_twophase_segmented_sort_bit_identical():
     np.testing.assert_array_equal(a, b)
 
 
+def test_twophase_prefix_sort_bit_identical():
+    """Prefix-bounded boundary sorts are exact for ANY survival rate —
+    even a deliberately too-small prefix (actives left beyond it are
+    traced in place; compaction is an optimization, not a correctness
+    requirement)."""
+    from raytracers_tpu.render.pallas_kernel import render_pallas_twophase
+    sc = scenes.rgbbox()
+    ps = build_pallas_scene(sc.spheres)
+    cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
+    kw = dict(max_depth=50, schedule=(3, 4, 8), tile=256, block=(16, 16),
+              interpret=True)
+    a = np.asarray(render_pallas_twophase(ps, cam, 64, 64, **kw))
+    b = np.asarray(render_pallas_twophase(
+        ps, cam, 64, 64, sort_prefix=(None, 0.5, 0.25), **kw))
+    c = np.asarray(render_pallas_twophase(
+        ps, cam, 64, 64, sort_prefix=(0.25, 0.07, 0.07), **kw))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+
+
 def test_block_tiled_matches_scanline():
     """2-D block tiling is a pure work-partitioning change: identical bits."""
     sc = scenes.rgbbox()

@@ -272,3 +272,32 @@ def test_pallas_bwd_multiphase_schedule():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() <= 1e-5 * (np.abs(a).max() + 1e-8)
+
+
+def test_pallas_bwd_prefix_sort():
+    """Prefix-bounded boundary sorts in the record/replay path: when the
+    prefix covers all survivors the forward AND gradients are
+    bit-identical; a deliberately too-small prefix still yields the same
+    forward and gradients equal up to f32 accumulation order (unpacked
+    survivors are traced in place — a pure summation-order change)."""
+    spheres, cam = _setup()
+    base = dict(max_depth=10, tile=256, block=(16, 16), schedule=(2, 3),
+                interpret=True)
+    f1 = make_render_pallas_diff(W, H, **base)
+    f2 = make_render_pallas_diff(W, H, sort_prefix=(None, 0.5), **base)
+    f3 = make_render_pallas_diff(W, H, sort_prefix=(0.25, 0.1), **base)
+    i1 = np.asarray(f1(spheres, cam))
+    np.testing.assert_array_equal(i1, np.asarray(f2(spheres, cam)))
+    np.testing.assert_array_equal(i1, np.asarray(f3(spheres, cam)))
+
+    def L(f):
+        return lambda s, c: jnp.sum(f(s, c) ** 2)
+
+    g1 = jax.grad(L(f1), argnums=0)(spheres, cam)
+    g2 = jax.grad(L(f2), argnums=0)(spheres, cam)
+    g3 = jax.grad(L(f3), argnums=0)(spheres, cam)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g3)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-5 * (np.abs(a).max() + 1e-8)

@@ -22,6 +22,8 @@ def main():
                     help="survivor-compaction depth (segmented replay)")
     ap.add_argument("--schedule", type=int, nargs="+", default=None,
                     help="multi-boundary compaction schedule")
+    ap.add_argument("--prefix", type=float, nargs="+", default=None,
+                    help="per-boundary sort-prefix fractions (0 = full)")
     args = ap.parse_args()
 
     import jax
@@ -43,6 +45,9 @@ def main():
         kw["phase1_depth"] = args.phase1
     if args.schedule:
         kw["schedule"] = tuple(args.schedule)
+    if args.prefix:
+        kw["sort_prefix"] = tuple(None if p <= 0 else p
+                                  for p in args.prefix)
     f = make_render_pallas_diff(W, H, max_depth=args.depth,
                                 bwd_chunks=args.chunks,
                                 backward=args.backward, **kw)
