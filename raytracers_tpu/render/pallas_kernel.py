@@ -1134,14 +1134,14 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
     # (3 scatters cost 18.2 ms on v5e, the unpermute sort 5.9 —
     # tools/microbench_unpermute.py); earlier phases' colours ride as
     # the acc operands and merge where the final phase was dead-on-entry
-    act_last = ((poskeys[-1] >> 30) == 0).astype(jnp.int32)
-    srt = jax.lax.sort(
-        [idx, act_last] + [x.reshape(Rp) for x in (rrF, rgF, rbF)] + acc,
-        dimension=0, num_keys=1)
-    act_b = srt[1]
-    colflat = jnp.stack(
-        [jnp.where(act_b == 1, phF, accv)
-         for phF, accv in zip(srt[2:5], srt[5:8])], axis=-1)
+    act_last = (poskeys[-1] >> 30) == 0
+    # merge each phase's colours with the accumulator BEFORE the
+    # unpermute (where() commutes with the permutation): 3 payload
+    # columns instead of 7
+    merged = [jnp.where(act_last, phF.reshape(Rp), accv)
+              for phF, accv in zip((rrF, rgF, rbF), acc)]
+    srt = jax.lax.sort([idx] + merged, dimension=0, num_keys=1)
+    colflat = jnp.stack(srt[1:4], axis=-1)
     if block is not None:
         colours = (colflat.reshape(hp // bh, wp // bw, bh, bw, 3)
                    .transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
@@ -1494,9 +1494,12 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     # phases' colours bit-for-bit.
     active_sorted = state_in[-1].reshape(Rp) > 0.0
     out_sorted = out.reshape(Rp)
-    _, act_b, out_b, acc_b = bsort(
-        [idx, active_sorted.astype(jnp.int32), out_sorted, acc_pix])
-    unsorted = jnp.where(act_b == 1, out_b, acc_b)
+    # merge the final phase's pixels with earlier phases' BEFORE the
+    # unpermute — where() commutes with the permutation, so the sort
+    # carries one payload instead of three (measured: payload count is
+    # the sort's cost driver, tools/microbench_sortkeys.py)
+    merged = jnp.where(active_sorted, out_sorted, acc_pix)
+    _, unsorted = bsort([idx, merged])
     if block is not None:
         img = (unsorted.reshape(hp // bh, wp // bw, bh, bw)
                .transpose(0, 2, 1, 3).reshape(hp, wp))
