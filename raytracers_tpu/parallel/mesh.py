@@ -104,7 +104,7 @@ def render_pallas_sharded(scene, cam, height: int, width: int,
         # same measured-best schedules + boundary sort prefixes as the
         # unsharded api.render defaults (each shard's slab sorts
         # independently; prefixes are exact for any survival rate)
-        schedule = ((3, 4, 8) if C <= 16 else (3, 8)) if C <= 128 else (3, 6)
+        schedule = ((3, 4, 8) if C <= 16 else (3, 6)) if C <= 128 else (3, 6)
         sort_prefix = ((None, 0.5, 0.25) if C <= 16
                        else (None, 0.25))
     else:

@@ -93,8 +93,9 @@ def render(prepared: PreparedScene, height: int, width: int,
         #   (3,4,8) 54.5 ms; neighbours (3,3,8)/(2,4,8)/(3,4,6) all lose,
         #   a fourth boundary (3,4,8,12) costs more than it compacts).
         # * 16 < C <= 128 (irreg-class, culled sweeps): same tiles,
-        #   schedule (3, 8) (50.9 -> 48.1 ms: shallow mean depth, small
-        #   deep tail).
+        #   schedule (3, 6) (round-3 re-sweep at prefixed sorts: 40.8 ms
+        #   vs 41.9 at the old (3, 8), (3, 7) 41.4 — shallow mean depth,
+        #   small deep tail).
         # * C > 128 (scene-scale, multi-block sweeps): tile 512/(32,16)
         #   — tile 2048 crashes the Mosaic compiler on the multi-block
         #   path — schedule (3, 6) (round-3 re-sweep: 128.2 ms vs 147.1
@@ -118,7 +119,7 @@ def render(prepared: PreparedScene, height: int, width: int,
             if C <= 16:
                 default_sched, default_pref = (3, 4, 8), (None, 0.5, 0.25)
             else:
-                default_sched, default_pref = (3, 8), (None, 0.25)
+                default_sched, default_pref = (3, 6), (None, 0.25)
         if schedule is None:
             schedule = ((phase1_depth,) if phase1_depth is not None
                         else default_sched)
