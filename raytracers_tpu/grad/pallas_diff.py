@@ -389,10 +389,26 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
                 pref_rows = [None if (f is None or f >= 1.0)
                              else max(tile, int(Rp * f) // tile * tile)
                              for f in fr] + [None] * (m - len(fr))
+            # image cotangent in each segment's ray order, chained through
+            # the boundary permutations (g_{k+1} = g_k[pos_k]; the poskey
+            # low bits are the sort's source positions).  A prefixed
+            # boundary's suffix permutation is the identity, so its gather
+            # shrinks to the prefix — vs a full (Rp, 3) gather per
+            # boundary (~7 ms each at 1e6 rays) for gflat[idxs[k-1]].
+            gseg = [gflat]
+            for j in range(m):
+                pos_j = aux["poskeys"][j] & ((1 << 30) - 1)
+                B = pref_rows[j]
+                if B is not None and 0 < B < Rp:
+                    head = jnp.take(gseg[-1], pos_j[:B], axis=0)
+                    gseg.append(jnp.concatenate([head, gseg[-1][B:]],
+                                                axis=0))
+                else:
+                    gseg.append(jnp.take(gseg[-1], pos_j, axis=0))
             tab_slot = None
             carry9 = None
             for k in range(m, -1, -1):
-                gk = gflat if k == 0 else gflat[aux["idxs"][k - 1]]
+                gk = gseg[k]
                 segs = [(aux["recs"][k], aux["pays"][k],
                          _rows16(gk, nt, carry9),
                          None if k == 0 else aux["states16"][k - 1],
