@@ -100,9 +100,18 @@ def main():
         dt = bench_salted(render_sum_fn, salted_prep, warmup=1, runs=runs)
         rays = W * H / dt
         results[name] = rays
-        if "--trace" in sys.argv and on_tpu:
-            # device-side time via a real jax.profiler trace: separates
-            # kernel execution from the ~6-9 ms tunnel dispatch floor
+        if on_tpu and "--no-trace" not in sys.argv:
+            # DEFAULT-ON device-utilization report:
+            # (1) device-side render time via a real jax.profiler trace
+            #     (separates kernel execution from the ~6-9 ms tunnel
+            #     dispatch floor);
+            # (2) exact executed work from the instrumented kernel
+            #     variant (render_stats: same config, same arithmetic,
+            #     plus per-tile counters — untimed run);
+            # (3) % of the microbenched VPU issue ceiling =
+            #     slot_tests * ~25 wide-ops / (issue_rate * 1024 lanes *
+            #     clock * device_time) — the roofline of
+            #     docs/PERF_NOTES.md, now auditable per-run.
             import tempfile
             from raytracers_tpu.utils.profiling import (device_kernel_ms,
                                                         device_trace)
@@ -112,10 +121,28 @@ def main():
             kms = device_kernel_ms(tdir)
             dev_ms = max(kms.values()) if kms else None
             details[f"{name}_device_render_ms"] = dev_ms
-            if dev_ms is not None:
-                log(f"{name}: device kernel time {dev_ms:.2f} ms (trace)")
-            else:
-                log(f"{name}: no device kernel events in trace")
+            try:
+                from raytracers_tpu.render.api import render_stats
+                stats = jax.jit(lambda p: render_stats(p, H, W))(prep)
+                slot = float(stats["slot_tests"])
+                details[f"{name}_slot_tests"] = slot
+                details[f"{name}_slot_tests_per_ray_bounce"] = (
+                    slot / max(1.0, float(stats["ray_bounces"])))
+                if dev_ms:
+                    mb = json.load(open(os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "MICROBENCH.json")))
+                    ceil_ops = (mb["fma_ilp4_vregops_per_cycle"] * 1024
+                                * mb["clock_ghz"] * 1e9)
+                    util = (slot * 25.0) / (ceil_ops * dev_ms / 1e3)
+                    details[f"{name}_vpu_issue_util"] = round(util, 3)
+                    log(f"{name}: device {dev_ms:.2f} ms, "
+                        f"{slot/1e9:.2f}e9 slot-tests "
+                        f"({details[f'{name}_slot_tests_per_ray_bounce']:.0f}"
+                        f"/ray-bounce), {util*100:.0f}% of VPU issue "
+                        f"ceiling")
+            except Exception as e:  # pragma: no cover
+                log(f"{name}: stats run failed: {type(e).__name__}: {e}")
         details[f"{name}_bvh_ms"] = bvh_s * 1e3
         details[f"{name}_render_ms"] = dt * 1e3
         details[f"{name}_mrays_per_s"] = rays / 1e6
@@ -158,10 +185,11 @@ def main():
                             W / H)
             # measured-best fwd+bwd config on v5e (tools/fwdbwd_check.py
             # sweep): fused Pallas backward, 2048-ray (32, 64) block
-            # tiles, survivor compaction at depths (4, 12) in BOTH
-            # directions (98.0 ms vs 104.9 single-boundary p6; the
-            # second boundary caps the packed deep tail exactly like
-            # the plain renderer's schedule)
+            # tiles, survivor compaction at depths (4, 8) in BOTH
+            # directions with a 0.5-prefix second boundary sort
+            # (the second boundary caps the packed deep tail exactly
+            # like the plain renderer's schedule; deeper schedules cost
+            # the backward a gflat gather + carry sort per boundary)
             f = make_render_pallas_diff(W, H, max_depth=50, tile=2048,
                                         block=(32, 64), schedule=(4, 8),
                                         sort_prefix=(None, 0.5))
@@ -172,16 +200,29 @@ def main():
 
             gfn = jax.jit(jax.value_and_grad(loss))
 
-            def salted_sph(k):
-                return (sc.spheres._replace(
-                    center=sc.spheres.center + jnp.float32(k) * 1e-30), cam)
-            jax.device_get(gfn(*salted_sph(-1))[0])
-            dt = bench_salted(lambda s, c: gfn(s, c)[0], salted_sph,
-                              warmup=1, runs=max(2, runs // 3))
-            details["fwdbwd_1000_d50_ms"] = dt * 1e3
-            details["fwdbwd_1000_d50_mrays_per_s"] = W * H / dt / 1e6
-            log(f"fwd+bwd rgbbox {W}x{H} d50 (pallas fwd + replay bwd): "
-                f"{dt*1e3:.1f} ms ({W*H/dt/1e6:.2f} Mrays/s)")
+            # the reference's harnesses bench both scenes; record irreg's
+            # fwd+bwd beside rgbbox's (same engine config)
+            for gname in ["rgbbox", "irreg"]:
+                gsc = scenes.by_name(gname)
+                gcam = mk_camera(gsc.look_from, gsc.look_at, (0., 1., 0.),
+                                 gsc.fov, W / H)
+
+                def salted_sph(k, gsc=gsc, gcam=gcam):
+                    return (gsc.spheres._replace(
+                        center=gsc.spheres.center + jnp.float32(k) * 1e-30),
+                        gcam)
+                jax.device_get(gfn(*salted_sph(-1))[0])
+                dt = bench_salted(lambda s, c: gfn(s, c)[0], salted_sph,
+                                  warmup=1, runs=max(2, runs // 3))
+                details[f"fwdbwd_{gname}_1000_d50_ms"] = dt * 1e3
+                details[f"fwdbwd_{gname}_1000_d50_mrays_per_s"] = (
+                    W * H / dt / 1e6)
+                log(f"fwd+bwd {gname} {W}x{H} d50 (pallas fwd + replay "
+                    f"bwd): {dt*1e3:.1f} ms ({W*H/dt/1e6:.2f} Mrays/s)")
+            details["fwdbwd_1000_d50_ms"] = details[
+                "fwdbwd_rgbbox_1000_d50_ms"]          # legacy key
+            details["fwdbwd_1000_d50_mrays_per_s"] = details[
+                "fwdbwd_rgbbox_1000_d50_mrays_per_s"]
         else:
             from raytracers_tpu.grad.diff_render import trace_diff
             from raytracers_tpu.render.bruteforce import make_closest_hit
@@ -207,13 +248,13 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"fwd+bwd bench failed: {type(e).__name__}: {e}")
 
-    # resolution ladder (reference harnesses sweep 100/200/1000 —
+    # resolution ladder (reference harnesses sweep 10/100/200/1000 —
     # rust/benches/ray.rs:29-37, haskell/bench-ray.hs:32-34); each size is
     # a fresh kernel compile, so this is opt-in: bench.py --ladder
     if "--ladder" in sys.argv:
         for name in ["rgbbox", "irreg"]:
             sc = scenes.by_name(name)
-            for res in [100, 200, 1000]:
+            for res in [10, 100, 200, 1000]:
                 prep = jax.block_until_ready(jax.jit(
                     lambda s: prepare_scene(s, res, res, leaf_size=8,
                                             with_pallas=(mode == "pallas"))

@@ -30,9 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scene: rgbbox | irreg (reference -s)")
     p.add_argument("-r", dest="runs", type=int, default=10,
                    help="timed runs per phase (reference -r)")
-    p.add_argument("--mode", default="bvh",
+    p.add_argument("--mode", default=None,
                    choices=["bvh", "brute", "brute_matmul", "pallas"],
-                   help="closest-hit engine")
+                   help="closest-hit engine (default: pallas on TPU — the "
+                        "flagship kernel, like the reference's driver always "
+                        "running its fast path — else bvh)")
     p.add_argument("--leaf-size", type=int, default=8,
                    help="BVH leaf cluster size (spheres per leaf)")
     p.add_argument("--depth", type=int, default=50,
@@ -56,6 +58,12 @@ def main(argv=None) -> int:
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.mode is None:
+        # the reference's driver always runs its fast path; ours is the
+        # megakernel on TPU (the XLA traversal elsewhere — the megakernel
+        # only interprets off-TPU)
+        args.mode = ("pallas" if jax.devices()[0].platform == "tpu"
+                     else "bvh")
 
     from . import scenes
     from .image import write_image

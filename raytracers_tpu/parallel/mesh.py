@@ -34,10 +34,14 @@ def ray_mesh(devices=None) -> Mesh:
 
 
 def _pad_to(x, r):
-    pad = r - x.shape[0]
-    if pad == 0:
+    """Pad axis 0 to r rows by cycling the input (padding rays are traced
+    and discarded).  Tiling handles r > 2*len(x) — tiny-image many-device
+    calls (R < n_devices - R) would otherwise silently mis-shape."""
+    n = x.shape[0]
+    if n == r:
         return x
-    return jnp.concatenate([x, x[:pad]], axis=0)
+    reps = -(-r // n)
+    return jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:r]
 
 
 def trace_sharded(prepared: PreparedScene, origins, dirs, mesh: Mesh,
@@ -73,6 +77,7 @@ def render_pallas_sharded(scene, cam, height: int, width: int,
                           tile: int | None = None,
                           block: tuple | None = None,
                           schedule: tuple | None = None,
+                          sort_prefix: tuple | None = None,
                           interpret: bool = False):
     """Sharded megakernel render: each device renders a horizontal slab
     of the image (its share of the Pallas tile grid); scene + BVH tables
@@ -105,10 +110,9 @@ def render_pallas_sharded(scene, cam, height: int, width: int,
         # unsharded api.render defaults (each shard's slab sorts
         # independently; prefixes are exact for any survival rate)
         schedule = ((3, 4, 8) if C <= 16 else (3, 6)) if C <= 128 else (3, 6)
-        sort_prefix = ((None, 0.5, 0.25) if C <= 16
-                       else (None, 0.25))
-    else:
-        sort_prefix = None
+        if sort_prefix is None:
+            sort_prefix = ((None, 0.5, 0.25) if C <= 16
+                           else (None, 0.25))
     bh = block[0] if block is not None else 1
     rows_per = -(-height // (n * bh)) * bh       # slab height, block-aligned
     hp = rows_per * n

@@ -67,6 +67,17 @@ def _oracle(prepared: PreparedScene, mode: str):
     raise ValueError(f"unknown render mode: {mode}")
 
 
+def pallas_config(C: int):
+    """Measured-best megakernel config by scene class:
+    (tile, block, schedule, sort_prefix).  See render() for the sweep
+    provenance."""
+    if C > 128:
+        return 512, (32, 16), (3, 6), (None, 0.25)
+    if C <= 16:
+        return 2048, (64, 32), (3, 4, 8), (None, 0.5, 0.25)
+    return 2048, (64, 32), (3, 6), (None, 0.25)
+
+
 def render(prepared: PreparedScene, height: int, width: int,
            mode: str = "bvh", max_depth: int = MAX_DEPTH,
            chunk: int | None = None, interpret: bool = False,
@@ -109,17 +120,8 @@ def render(prepared: PreparedScene, height: int, width: int,
         # upper-bound the measured survivor curves with slack (rgbbox
         # 45.5%/10.3% at d3/d7; irreg 4.3% at d3); measured: rgbbox
         # 47.3 -> 41.4 ms, irreg 46.8 -> 42.1, plane 128.5 -> 123.5.
-        C = prepared.pallas.n_clusters
-        if C > 128:
-            tile, block = 512, (32, 16)
-            default_sched = (3, 6)
-            default_pref = (None, 0.25)
-        else:
-            tile, block = 2048, (64, 32)
-            if C <= 16:
-                default_sched, default_pref = (3, 4, 8), (None, 0.5, 0.25)
-            else:
-                default_sched, default_pref = (3, 6), (None, 0.25)
+        tile, block, default_sched, default_pref = pallas_config(
+            prepared.pallas.n_clusters)
         if schedule is None:
             schedule = ((phase1_depth,) if phase1_depth is not None
                         else default_sched)
@@ -132,11 +134,39 @@ def render(prepared: PreparedScene, height: int, width: int,
                 max_depth=max_depth, schedule=schedule,
                 interpret=interpret, tile=tile, block=block,
                 sort_prefix=sort_prefix)
+        # shallow renders use the same class-tuned tile/block as deep ones
         return render_pallas(prepared.pallas, prepared.cam, width, height,
                              max_depth=max_depth, interpret=interpret,
-                             block=(32, 16))
+                             tile=tile, block=block)
     return render_packed(_oracle(prepared, mode), prepared.spheres,
                          prepared.cam, width, height, max_depth, chunk)
+
+
+def render_stats(prepared: PreparedScene, height: int, width: int,
+                 max_depth: int = MAX_DEPTH, interpret: bool = False):
+    """Exact executed-work counters for the DEFAULT pallas render config.
+
+    Runs the instrumented kernel variant with the same tile/block/schedule
+    /sort_prefix that ``render(mode='pallas')`` would pick, so the
+    returned ``slot_tests``/``ray_bounces`` audit exactly what the
+    production kernel executes (per-ray arithmetic is identical).  Used
+    by bench.py's default-on device-utilization report."""
+    from .pallas_kernel import render_pallas, render_pallas_twophase
+    if prepared.pallas is None:
+        raise ValueError("prepare_scene(..., with_pallas=True) required")
+    tile, block, schedule, sort_prefix = pallas_config(
+        prepared.pallas.n_clusters)
+    if max_depth >= 16 and sum(schedule) < max_depth:
+        _, stats = render_pallas_twophase(
+            prepared.pallas, prepared.cam, width, height,
+            max_depth=max_depth, schedule=schedule, interpret=interpret,
+            tile=tile, block=block, sort_prefix=sort_prefix,
+            with_stats=True)
+        return stats
+    _, stats = render_pallas(prepared.pallas, prepared.cam, width, height,
+                             max_depth=max_depth, interpret=interpret,
+                             tile=tile, block=block, with_stats=True)
+    return stats
 
 
 def render_float(prepared: PreparedScene, height: int, width: int,

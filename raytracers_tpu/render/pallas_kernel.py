@@ -297,7 +297,8 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 emit_state: bool = False, block_tiled: bool = False,
                 emit_float: bool = False, record: bool = False,
                 record_pay: bool = False, hbm_spheres: bool = False,
-                lane_groups: int = 1, force_occl: bool = False):
+                lane_groups: int = 1, force_occl: bool = False,
+                emit_stats: bool = False):
     T = tile
     C = n_clusters
     CB = aabb_ref.shape[0]
@@ -305,13 +306,20 @@ def _megakernel(params_ref,               # SMEM (24,) f32
     n_in = 0 if gen_rays else N_STATE
     state_in = refs[:n_in]
     if hbm_spheres:
-        # trailing scratches: sphere-block DMA buffer + semaphore
-        (hits_ref, hits2_ref, buf8_ref, sem8) = refs[-4:]
-        out_refs = refs[n_in:-4]
+        # trailing scratches: two sphere-block DMA buffers + semaphores
+        # (double-buffered streaming: cluster c+1's block is in flight
+        # while cluster c is intersected)
+        (hits_ref, hits2_ref, bufA_ref, bufB_ref, semA, semB) = refs[-6:]
+        out_refs = refs[n_in:-6]
     else:
         out_refs = refs[n_in:-2]
         hits_ref = refs[-2]
         hits2_ref = refs[-1]
+    if emit_stats:
+        # per-tile work counters (see _call_megakernel emit_stats): row 0 =
+        # Σ sphere-rows over executed visits (per lane), row 1 = bounces run
+        stats_ref = out_refs[-1]
+        out_refs = out_refs[:-1]
     if record_pay:
         pay_ref = out_refs[-1]
         out_refs = out_refs[:-1]
@@ -391,6 +399,36 @@ def _megakernel(params_ref,               # SMEM (24,) f32
     NG = lane_groups
     G = T // NG
     ROWS = CB * CR            # flag rows per lane group
+    # double-buffered HBM sphere streaming rides the gated 8-cluster runs
+    # of the dynamic sweep (the only path hbm scenes take): the run
+    # prologue starts cluster base's DMA, each visit waits its own block
+    # and prefetches the next into the other buffer, so the fetch hides
+    # behind the previous cluster's intersection math.  DMA choreography
+    # is UNCONDITIONAL within a gated run (start/wait pairing must be
+    # exact); only the compute is flag-gated.  Skipped runs issue no DMAs.
+    hbm_stream = hbm_spheres and cull and CB > 1
+
+    def _hbm_wait(c):
+        par = c & 1
+
+        @pl.when(par == 0)
+        def _():
+            pltpu.make_async_copy(sph8_ref.at[0], bufA_ref, semA).wait()
+
+        @pl.when(par == 1)
+        def _():
+            pltpu.make_async_copy(sph8_ref.at[0], bufB_ref, semB).wait()
+
+    def _hbm_start(c, into_parity):
+        c = jnp.minimum(c, C - 1)      # padding runs: clamp (data unused)
+
+        @pl.when(into_parity == 0)
+        def _():
+            pltpu.make_async_copy(sph8_ref.at[c], bufA_ref, semA).start()
+
+        @pl.when(into_parity == 1)
+        def _():
+            pltpu.make_async_copy(sph8_ref.at[c], bufB_ref, semB).start()
 
     def closest_hit(ox, oy, oz, dx, dy, dz, active):
         """Culled packed-key search.  Returns (krun (1,T) int32,
@@ -495,6 +533,18 @@ def _megakernel(params_ref,               # SMEM (24,) f32
             def visit(c, carry, tail=False):
                 anyhit = (hits_ref[frow + c, 0] if cull
                           else jnp.float32(1.0))
+                if hbm_stream and not tail:
+                    # double-buffer rotation: wait THIS cluster's block
+                    # (started by the run prologue or the previous
+                    # visit), then prefetch the next cluster of the run
+                    # into the other buffer so its fetch overlaps this
+                    # cluster's intersection math.  Unconditional (flag-
+                    # independent) to keep start/wait pairing exact.
+                    _hbm_wait(c)
+
+                    @pl.when(((c + 1) & 7) != 0)
+                    def _():
+                        _hbm_start(c + 1, (c + 1) & 1)
 
                 def do_visit(carry):
                     krun, pay = carry[0], carry[1]
@@ -504,17 +554,26 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                         # were 22% of the dense intersection work)
                         blkT = tailT_ref[:, :]               # (P, 8)
                         blk8 = tail8_ref[:, :]               # (8, P)
+                    elif hbm_stream:
+                        # sphere tables exceed VMEM at this C: the block
+                        # was DMA'd ahead by the run's double-buffer
+                        # rotation (see visit()); pick this cluster's
+                        # buffer by parity (arithmetic select: 3 ops on
+                        # one (8,128) vreg) and transpose in-register
+                        parf = (c & 1).astype(jnp.float32)
+                        blk8 = (bufA_ref[:, :] * (1.0 - parf)
+                                + bufB_ref[:, :] * parf)
+                        blkT = jnp.swapaxes(blk8, 0, 1)
                     elif hbm_spheres:
-                        # sphere tables exceed VMEM at this C: stream the
-                        # cluster's (8,128) block from HBM (lane-aligned
-                        # DMA; a (128,8) slice would violate Mosaic
-                        # tiling) and transpose in-register
+                        # non-streaming fallback (uncull/simple sweeps):
+                        # synchronous per-visit DMA (lane-aligned; a
+                        # (128,8) slice would violate Mosaic tiling)
                         d8 = pltpu.make_async_copy(sph8_ref.at[c],
-                                                   buf8_ref, sem8)
+                                                   bufA_ref, semA)
                         d8.start()
                         d8.wait()
-                        blkT = jnp.swapaxes(buf8_ref[:, :], 0, 1)
-                        blk8 = buf8_ref[:, :]
+                        blkT = jnp.swapaxes(bufA_ref[:, :], 0, 1)
+                        blk8 = bufA_ref[:, :]
                     else:
                         blkT = sphT_ref[pl.ds(c, 1), :, :].reshape(LANE, 8)
                         blk8 = sph8_ref[pl.ds(c, 1), :, :].reshape(8, LANE)
@@ -580,11 +639,16 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                     # select_n broadcast): pay*0 + pay_c  or  pay*1 + 0
                     pay = pay * (1.0 - impf) + pay_c * impf
                     krun = jnp.minimum(krun, kmin)
+                    ret = [krun, pay]
                     if record:
                         cidx = carry[2]
                         cidx = jnp.where(imp_b, jnp.int32(c), cidx)
-                        return (krun, pay, cidx)
-                    return (krun, pay)
+                        ret.append(cidx)
+                    if emit_stats:
+                        # exact executed-work counter: P sphere rows were
+                        # tested against every lane of this group
+                        ret.append(carry[-1] + jnp.float32(P))
+                    return tuple(ret)
 
                 # occlusion gate (C > 16 scenes): re-test this cluster's
                 # AABB against the group's CURRENT best t — clusters
@@ -641,6 +705,8 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                     jnp.ones((8, G), jnp.float32))
             if record:
                 init = init + (jnp.zeros((1, G), jnp.int32),)
+            if emit_stats:
+                init = init + (jnp.zeros((1, G), jnp.float32),)
 
             def sweep_range(lo_c, n, carry):
                 """Visit clusters [lo_c, lo_c+n) with 8-cluster run gates:
@@ -693,6 +759,8 @@ def _megakernel(params_ref,               # SMEM (24,) f32
 
                 def gated_run(carry):
                     base = cb * CR + rg * 8
+                    if hbm_stream:
+                        _hbm_start(base, 0)      # 8-aligned base: parity 0
                     return jax.lax.fori_loop(base, base + 8, visit, carry)
 
                 base = cb * CR + rg * 8
@@ -718,6 +786,8 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         return out
 
     def bounce_body(state):
+        if emit_stats:
+            scnt, state = state[-1], state[:-1]
         (depth, n_active, ox, oy, oz, dx, dy, dz,
          lr, lg, lb, rr, rg, rb, active) = state
         ch = closest_hit(ox, oy, oz, dx, dy, dz, active)
@@ -824,8 +894,11 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         dz = jnp.where(bounce, rz, dz)
         active = jnp.where(bounce, 1.0, 0.0)
         n_active = jnp.sum(active)
-        return (depth + 1, n_active, ox, oy, oz, dx, dy, dz,
-                lr, lg, lb, rr, rg, rb, active)
+        out = (depth + 1, n_active, ox, oy, oz, dx, dy, dz,
+               lr, lg, lb, rr, rg, rb, active)
+        if emit_stats:
+            out = out + (scnt + ch[-1],)
+        return out
 
     def bounce_cond(state):
         depth, n_active = state[0], state[1]
@@ -843,7 +916,19 @@ def _megakernel(params_ref,               # SMEM (24,) f32
 
     state = (jnp.int32(0), jnp.sum(active0), ox, oy, oz, dx, dy, dz,
              lr0, lg0, lb0, rr0, rg0, rb0, active0)
+    if emit_stats:
+        state = state + (jnp.zeros((1, T), jnp.float32),)
     state = jax.lax.while_loop(bounce_cond, bounce_body, state)
+    if emit_stats:
+        # row 0: per-lane sphere rows tested (Σ over this ray's executed
+        # visits); row 1: bounce sweeps this tile ran.  Exact executed
+        # work — the auditable numerator of the VPU-ceiling utilization
+        # figure (bench.py) and the per-phase visit breakdown
+        # (tools/phase_stats.py).
+        stats_ref[0, 0:1, :] = state[-1]
+        stats_ref[0, 1:2, :] = jnp.full((1, T),
+                                        state[0].astype(jnp.float32))
+        state = state[:-1]
 
     if emit_state:
         for ref, val in zip(out_refs, state[2:2 + N_STATE]):
@@ -866,7 +951,8 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
                   far_root: bool = True, interpret: bool = False,
                   block: tuple | None = None, cull: bool | None = None,
                   row0=0.0, total_height: int | None = None,
-                  lane_groups: int | None = None):
+                  lane_groups: int | None = None,
+                  with_stats: bool = False):
     """Render -> packed int32 (h, w) via the megakernel.
 
     ``block=(bh, bw)`` with bh*bw == tile assigns each grid program a 2-D
@@ -903,10 +989,16 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
         out = _call_megakernel(scene, params, num_tiles, tile, max_depth,
                                far_root, cull, interpret, gen_rays=True,
                                emit_state=False, block_tiled=True,
-                               lane_groups=lane_groups)
+                               lane_groups=lane_groups,
+                               emit_stats=with_stats)
+        if with_stats:
+            out, stats = out
         img = (out.reshape(hp // bh, wp // bw, bh, bw)
-               .transpose(0, 2, 1, 3).reshape(hp, wp))
-        return img[:height, :width]
+               .transpose(0, 2, 1, 3).reshape(hp, wp))[:height, :width]
+        if with_stats:
+            return img, dict(slot_tests=jnp.sum(stats[:, 0, :]),
+                             ray_bounces=jnp.sum(stats[:, 1, :]))
+        return img
 
     R = width * height
     num_tiles = -(-R // tile)
@@ -918,7 +1010,13 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
 
     out = _call_megakernel(scene, params, num_tiles, tile, max_depth,
                            far_root, cull, interpret, gen_rays=True,
-                           emit_state=False, lane_groups=lane_groups)
+                           emit_state=False, lane_groups=lane_groups,
+                           emit_stats=with_stats)
+    if with_stats:
+        out, stats = out
+        return (out.reshape(-1)[:R].reshape(height, width),
+                dict(slot_tests=jnp.sum(stats[:, 0, :]),
+                     ray_bounces=jnp.sum(stats[:, 1, :])))
     return out.reshape(-1)[:R].reshape(height, width)
 
 
@@ -1027,7 +1125,6 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
       poskeys[k] (Rp,) int32    (dead << 30 | position in segment-k
                                  order) — low bits invert boundary k's
                                  permutation (backward carry hand-off)
-      idxs[k] (Rp,) int32       original ray id per lane of segment k+1
 
     Per-ray arithmetic is identical to the single-phase record kernel,
     so colours are bit-identical to ``render_pallas_record`` (and to the
@@ -1084,7 +1181,7 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
                     for h, o in zip(head, ops)]
         return jax.lax.sort(ops, dimension=0, num_keys=1)
 
-    recs, pays, states16, poskeys, idxs = [], [], [], [], []
+    recs, pays, states16, poskeys = [], [], [], []
     idx = jnp.arange(Rp, dtype=jnp.int32)      # original id, current order
     acc = None                                 # dead rays' colours (3 rows)
     state_in = None
@@ -1110,7 +1207,6 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
         poskeys.append(key_sorted)
         acc = list(sorted_all[10:13])
         idx = sorted_all[13]
-        idxs.append(idx)
         active_sorted = (key_sorted >> 30) == 0
         state_in = ([s.reshape(num_tiles, 1, tile)
                      for s in sorted_all[1:10]]
@@ -1149,7 +1245,7 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
     else:
         colours = colflat[:R].reshape(height, width, 3)
     aux = dict(recs=recs, pays=pays, states16=states16,
-               poskeys=poskeys, idxs=idxs, schedule=tuple(schedule))
+               poskeys=poskeys, schedule=tuple(schedule))
     # legacy two-segment aliases (tests, older tools)
     if len(schedule) == 1:
         aux.update(rec1=recs[0], pay1=pays[0], rec2=recs[1], pay2=pays[1],
@@ -1160,7 +1256,8 @@ def render_pallas_record_twophase(scene: PallasScene, cam: Camera,
 def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                      cull, interpret, gen_rays, emit_state, state_in=None,
                      block_tiled=False, emit_float=False, record=False,
-                     record_pay=False, lane_groups=None, force_occl=False):
+                     record_pay=False, lane_groups=None, force_occl=False,
+                     emit_stats=False):
     """Shared pallas_call wrapper for all megakernel modes."""
     C = scene.n_clusters
     CB = scene.aabbT.shape[0]
@@ -1192,7 +1289,8 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                                record_pay=record_pay,
                                hbm_spheres=hbm_spheres,
                                lane_groups=lane_groups,
-                               force_occl=force_occl)
+                               force_occl=force_occl,
+                               emit_stats=emit_stats)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     SBR = scene.superT.shape[1]
     sph_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm_spheres
@@ -1234,7 +1332,14 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                                     lambda i: (i, 0, 0, 0))]
         out_shape = out_shape + [jax.ShapeDtypeStruct(
             (num_tiles, max_depth, 8, tile), jnp.float32)]
-    if not emit_state and not emit_float and not record:
+    if emit_stats:
+        # per-tile executed-work counters (instrumented compile variant;
+        # never on a timed path): [:, 0, :] sphere rows tested per lane,
+        # [:, 1, :] bounce sweeps run
+        out_specs = out_specs + [vm((1, 2, tile), lambda i: (i, 0, 0))]
+        out_shape = out_shape + [jax.ShapeDtypeStruct(
+            (num_tiles, 2, tile), jnp.float32)]
+    if not emit_state and not emit_float and not record and not emit_stats:
         out_specs, out_shape = out_specs[0], out_shape[0]
     return pl.pallas_call(
         kernel,
@@ -1245,6 +1350,8 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
         scratch_shapes=[pltpu.VMEM((lane_groups * CB * CR, 1), jnp.float32),
                         pltpu.VMEM((SBR, 1), jnp.float32)]
         + ([pltpu.VMEM((8, LANE), jnp.float32),
+            pltpu.VMEM((8, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(())]
            if hbm_spheres else []),
         interpret=interpret,
@@ -1264,8 +1371,17 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
                            coherent: bool = False,
                            occl_cont: bool = False,
                            seg_tiles: int | None = None,
-                           sort_prefix: tuple | None = None):
+                           sort_prefix: tuple | None = None,
+                           with_stats: bool = False):
     """Multi-phase render with survivor compaction between phases.
+
+    ``with_stats``: compile the instrumented kernel variant and ALSO
+    return a stats dict with exact executed-work counters —
+    ``slot_tests`` (sphere-rows × rays actually tested, summed over
+    phases), ``ray_bounces`` (Σ per-lane bounce sweeps), and the
+    per-phase lists.  Per-ray arithmetic (and the image) is unchanged;
+    use an untimed call of this variant to audit what the production
+    kernel executes (bench.py's VPU-ceiling utilization figure).
 
     ``sort_prefix``: per-boundary STATIC sort-width fractions (None or
     >= 1.0 entries sort the full array).  Boundary k-1 packed survivors
@@ -1432,6 +1548,7 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     acc_pix = None                    # dead rays' pixels, current order
     idx = None                        # original ray id, current order
     done_so_far = 0
+    phase_stats = []
     for k, p_depth in enumerate(schedule):
         st = _call_megakernel(
             scene, params, num_tiles if k == 0 else nt2,
@@ -1439,7 +1556,11 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
             gen_rays=(k == 0), emit_state=True,
             block_tiled=(k == 0 and block is not None),
             state_in=state_in, lane_groups=lane_groups,
-            force_occl=(occl_cont and k > 0))
+            force_occl=(occl_cont and k > 0),
+            emit_stats=with_stats)
+        if with_stats:
+            phase_stats.append(st[-1])
+            st = st[:-1]
         done_so_far += p_depth
         flat = [s.reshape(Rp) for s in st]
         active = flat[-1]
@@ -1484,7 +1605,10 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
                            max_depth - done_so_far, far_root, cull,
                            interpret, gen_rays=False, emit_state=False,
                            state_in=state_in, lane_groups=lane_groups,
-                           force_occl=occl_cont)
+                           force_occl=occl_cont, emit_stats=with_stats)
+    if with_stats:
+        out, last_stats = out
+        phase_stats.append(last_stats)
     # hand survivors' pixels back to ray order by RE-SORTING on the
     # unique original ray id instead of scattering: a 1M-row scatter
     # costs 8.7 ms on v5e where the 3-operand sort is 5.6
@@ -1503,5 +1627,15 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     if block is not None:
         img = (unsorted.reshape(hp // bh, wp // bw, bh, bw)
                .transpose(0, 2, 1, 3).reshape(hp, wp))
-        return img[:height, :width]
-    return unsorted[:R].reshape(height, width)
+        img = img[:height, :width]
+    else:
+        img = unsorted[:R].reshape(height, width)
+    if with_stats:
+        stats = dict(
+            phase_slot_tests=[jnp.sum(s[:, 0, :]) for s in phase_stats],
+            phase_ray_bounces=[jnp.sum(s[:, 1, :]) for s in phase_stats],
+        )
+        stats["slot_tests"] = sum(stats["phase_slot_tests"])
+        stats["ray_bounces"] = sum(stats["phase_ray_bounces"])
+        return img, stats
+    return img

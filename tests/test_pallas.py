@@ -274,3 +274,44 @@ def test_multiphase_schedule_matches_single():
             ps, cam, 40, 40, max_depth=30, schedule=(4, 8),
             interpret=True, coherent=True, occl_cont=True))
         np.testing.assert_array_equal(a, b)
+
+
+def test_with_stats_bit_identical_and_counts():
+    """The instrumented (emit_stats) kernel variant must not change the
+    image, and its counters must be exact: with culling off, every tile
+    tests all C*128 sphere rows each bounce, so slot_tests ==
+    ray_bounces * 128 * C exactly (rgbbox C=4, no tail peel when the
+    sweep is unculled... the peel still applies: 3*128+16=400)."""
+    import jax.numpy as jnp
+
+    from raytracers_tpu.render.pallas_kernel import (build_pallas_scene,
+                                                     render_pallas,
+                                                     render_pallas_twophase)
+    sc = scenes.rgbbox()
+    ps = build_pallas_scene(sc.spheres)
+    cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
+    a = np.asarray(render_pallas(ps, cam, 32, 32, max_depth=4, tile=256,
+                                 interpret=True))
+    b, st = render_pallas(ps, cam, 32, 32, max_depth=4, tile=256,
+                          interpret=True, with_stats=True)
+    np.testing.assert_array_equal(a, np.asarray(b))
+    # uncull comparison: force cull=False -> every bounce sweeps all
+    # clusters (tail peeled at 16 rows: 3*128 + 16 = 400 slots)
+    c, st0 = render_pallas(ps, cam, 32, 32, max_depth=4, tile=256,
+                           interpret=True, with_stats=True, cull=False)
+    np.testing.assert_array_equal(a, np.asarray(c))
+    assert float(st0["slot_tests"]) == float(st0["ray_bounces"]) * 400
+    # culled never exceeds dense
+    assert float(st["slot_tests"]) <= float(st0["slot_tests"])
+
+    # twophase stats: same image, per-phase counters sum to the total
+    d = np.asarray(render_pallas_twophase(ps, cam, 32, 32, max_depth=30,
+                                          schedule=(3, 6), tile=256,
+                                          interpret=True))
+    e, st2 = render_pallas_twophase(ps, cam, 32, 32, max_depth=30,
+                                    schedule=(3, 6), tile=256,
+                                    interpret=True, with_stats=True)
+    np.testing.assert_array_equal(d, np.asarray(e))
+    assert float(st2["slot_tests"]) == sum(
+        float(x) for x in st2["phase_slot_tests"])
+    assert len(st2["phase_slot_tests"]) == 3

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Exact per-phase executed-work breakdown for the production render
+configs (VERDICT r3 item 2: "nobody knows where irreg's time goes").
+
+Uses the instrumented megakernel variant (emit_stats) to count the
+sphere-rows actually tested per lane per phase, converts them to
+model-implied ms at the microbenched VPU issue ceiling, and compares
+against the measured wall/device time of the PRODUCTION kernel.
+
+Run ON TPU:  python tools/phase_stats.py [scene ...]
+"""
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+
+from raytracers_tpu import scenes
+from raytracers_tpu.render.api import (pallas_config, prepare_scene, render,
+                                       render_stats)
+from raytracers_tpu.utils.timing import bench_salted
+
+W = H = 1000
+OPS_PER_SLOT = 25.0          # VPU wide-ops per sphere-row test (PERF_NOTES)
+CULL_OPS_PER_ROW = 20.0      # slab ops per cull row
+
+
+def main():
+    names = sys.argv[1:] or ["rgbbox", "irreg", "plane"]
+    mb = json.load(open("docs/MICROBENCH.json"))
+    lane_rate = mb["fma_ilp4_vregops_per_cycle"] * 1024 * \
+        mb["clock_ghz"] * 1e9          # lane-ops/s ceiling
+    print(f"devices: {jax.devices()}  ceiling {lane_rate/1e12:.2f}e12 "
+          f"lane-ops/s", flush=True)
+    for name in names:
+        sc = scenes.by_name(name)
+        prep = jax.block_until_ready(jax.jit(lambda s: prepare_scene(
+            s, H, W, with_pallas=True, with_bvh=False))(sc))
+        C = prep.pallas.n_clusters
+        tile, block, sched, pref = pallas_config(C)
+        CR = prep.pallas.aabbT.shape[1]
+        CB = prep.pallas.aabbT.shape[0]
+
+        # production render timing
+        rfn = jax.jit(lambda p: jnp.sum(render(p, H, W, mode="pallas")))
+        jax.device_get(rfn(prep))
+
+        def salted(k, prep=prep):
+            cam = prep.cam._replace(
+                origin=prep.cam.origin + jnp.float32(k) * 1e-30)
+            return (prep._replace(cam=cam),)
+        dt = bench_salted(rfn, salted, warmup=1, runs=6)
+
+        # instrumented counters (untimed)
+        stats = jax.jit(lambda p: render_stats(p, H, W))(prep)
+        ps = [float(x) for x in stats["phase_slot_tests"]]
+        pb = [float(x) for x in stats["phase_ray_bounces"]]
+        slot = float(stats["slot_tests"])
+        rb = float(stats["ray_bounces"])
+        # model: visit math + cull slab per executed tile-bounce
+        tb = rb / tile                              # tile-bounces
+        cull_lane_ops = tb * CB * CR * tile * CULL_OPS_PER_ROW
+        visit_ms = slot * OPS_PER_SLOT / lane_rate * 1e3
+        cull_ms = cull_lane_ops / lane_rate * 1e3
+        print(f"\n{name}: C={C} CR={CR} CB={CB} tile={tile} block={block} "
+              f"schedule={sched} prefix={pref}")
+        print(f"  measured render: {dt*1e3:.2f} ms")
+        print(f"  ray-bounces {rb/1e6:.2f}e6 (tile-bounces {tb:.0f}), "
+              f"slot-tests {slot/1e9:.3f}e9 "
+              f"({slot/max(rb,1):.0f} per ray-bounce)")
+        for k, (s, b) in enumerate(zip(ps, pb)):
+            vis_per_tb = s / tile / max(b / tile, 1e-9) / 128
+            print(f"    phase {k}: ray-bounces {b/1e6:.3f}e6, slots "
+                  f"{s/1e9:.3f}e9 ({s/max(b,1):.0f}/ray-bounce, "
+                  f"~{vis_per_tb:.2f} 128-row visits/tile-bounce), "
+                  f"model {s*OPS_PER_SLOT/lane_rate*1e3:.1f} ms")
+        print(f"  model: visits {visit_ms:.1f} ms + cull {cull_ms:.1f} ms "
+              f"= {visit_ms+cull_ms:.1f} ms "
+              f"(residual {dt*1e3-visit_ms-cull_ms:+.1f} ms = boundary "
+              f"sorts + gates + shading + dispatch)")
+
+
+if __name__ == "__main__":
+    main()
