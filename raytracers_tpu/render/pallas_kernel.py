@@ -298,7 +298,7 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                 emit_float: bool = False, record: bool = False,
                 record_pay: bool = False, hbm_spheres: bool = False,
                 lane_groups: int = 1, force_occl: bool = False,
-                emit_stats: bool = False):
+                emit_stats: bool = False, runtime_depth: bool = False):
     T = tile
     C = n_clusters
     CB = aabb_ref.shape[0]
@@ -332,6 +332,17 @@ def _megakernel(params_ref,               # SMEM (24,) f32
     inv_w = params_ref[18]
     inv_h = params_ref[19]
     row_off = params_ref[12]   # first image row of this shard (0 unsharded)
+    if runtime_depth:
+        # depth cap as a RUNTIME scalar (params[13]): every phase of a
+        # compaction schedule — and every schedule being swept — shares
+        # ONE compiled kernel per (gen_rays, emit) structure instead of
+        # one per depth cap (compile latency was ~25 s x 4 phase kernels
+        # per scene config).  Not available in record modes (rec/pay
+        # output shapes are static per segment).
+        assert not (record or record_pay), "record shapes need static depth"
+        max_d = jnp.int32(params_ref[13])
+    else:
+        max_d = max_depth
 
     if gen_rays:
         # ---- fused ray generation (futhark/ray.fut:150-168) ----
@@ -902,7 +913,7 @@ def _megakernel(params_ref,               # SMEM (24,) f32
 
     def bounce_cond(state):
         depth, n_active = state[0], state[1]
-        return (depth < max_depth) & (n_active > 0.0)
+        return (depth < max_d) & (n_active > 0.0)
 
     if record:
         # bounces past a tile's early exit read as 'inactive' in replay
@@ -974,7 +985,10 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
     th = height if total_height is None else total_height
     row0 = jnp.asarray(row0, jnp.float32).reshape(1)
     hw_params = jnp.asarray([width, th, 1.0 / width, 1.0 / th], jnp.float32)
-    mid = jnp.concatenate([row0, jnp.zeros((3,), jnp.float32)])
+    # params[13] = runtime bounce cap: one compiled kernel per structure
+    # serves every depth (and every schedule phase — see _megakernel)
+    mid = jnp.concatenate([row0,
+                           jnp.asarray([max_depth, 0.0, 0.0], jnp.float32)])
     if block is not None:
         bh, bw = block
         assert bh * bw == tile, (block, tile)
@@ -990,7 +1004,7 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
                                far_root, cull, interpret, gen_rays=True,
                                emit_state=False, block_tiled=True,
                                lane_groups=lane_groups,
-                               emit_stats=with_stats)
+                               emit_stats=with_stats, runtime_depth=True)
         if with_stats:
             out, stats = out
         img = (out.reshape(hp // bh, wp // bw, bh, bw)
@@ -1011,7 +1025,7 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
     out = _call_megakernel(scene, params, num_tiles, tile, max_depth,
                            far_root, cull, interpret, gen_rays=True,
                            emit_state=False, lane_groups=lane_groups,
-                           emit_stats=with_stats)
+                           emit_stats=with_stats, runtime_depth=True)
     if with_stats:
         out, stats = out
         return (out.reshape(-1)[:R].reshape(height, width),
@@ -1257,8 +1271,15 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                      cull, interpret, gen_rays, emit_state, state_in=None,
                      block_tiled=False, emit_float=False, record=False,
                      record_pay=False, lane_groups=None, force_occl=False,
-                     emit_stats=False):
-    """Shared pallas_call wrapper for all megakernel modes."""
+                     emit_stats=False, runtime_depth=False):
+    """Shared pallas_call wrapper for all megakernel modes.
+
+    ``runtime_depth``: the bounce cap comes from params[13] at runtime;
+    ``max_depth`` is ignored (normalised to 0 so every runtime-depth
+    call of the same structure lowers to an identical module and shares
+    one compile — see _megakernel)."""
+    if runtime_depth:
+        max_depth = 0
     C = scene.n_clusters
     CB = scene.aabbT.shape[0]
     CR = scene.aabbT.shape[1]
@@ -1290,7 +1311,8 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                                hbm_spheres=hbm_spheres,
                                lane_groups=lane_groups,
                                force_occl=force_occl,
-                               emit_stats=emit_stats)
+                               emit_stats=emit_stats,
+                               runtime_depth=runtime_depth)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     SBR = scene.superT.shape[1]
     sph_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm_spheres
@@ -1549,15 +1571,21 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     idx = None                        # original ray id, current order
     done_so_far = 0
     phase_stats = []
+    # runtime depth caps (params[13]): every continuation phase — and the
+    # final one, which emits state like the others and packs outside —
+    # runs the SAME compiled kernel; a whole schedule costs two compiles
+    # (ray-gen phase + shared continuation), and re-sweeping schedules
+    # costs none.
     for k, p_depth in enumerate(schedule):
         st = _call_megakernel(
-            scene, params, num_tiles if k == 0 else nt2,
+            scene, params.at[13].set(jnp.float32(p_depth)),
+            num_tiles if k == 0 else nt2,
             tile if k == 0 else t2, p_depth, far_root, cull, interpret,
             gen_rays=(k == 0), emit_state=True,
             block_tiled=(k == 0 and block is not None),
             state_in=state_in, lane_groups=lane_groups,
             force_occl=(occl_cont and k > 0),
-            emit_stats=with_stats)
+            emit_stats=with_stats, runtime_depth=True)
         if with_stats:
             phase_stats.append(st[-1])
             st = st[:-1]
@@ -1601,13 +1629,17 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
                     + [zeros, zeros, zeros,
                        active_sorted.astype(jnp.float32).reshape(
                            nt2, 1, t2)])
-    out = _call_megakernel(scene, params, nt2, t2,
-                           max_depth - done_so_far, far_root, cull,
-                           interpret, gen_rays=False, emit_state=False,
+    out = _call_megakernel(scene,
+                           params.at[13].set(
+                               jnp.float32(max_depth - done_so_far)),
+                           nt2, t2, max_depth - done_so_far, far_root,
+                           cull, interpret, gen_rays=False, emit_state=True,
                            state_in=state_in, lane_groups=lane_groups,
-                           force_occl=occl_cont, emit_stats=with_stats)
+                           force_occl=occl_cont, emit_stats=with_stats,
+                           runtime_depth=True)
     if with_stats:
-        out, last_stats = out
+        last_stats = out[-1]
+        out = out[:-1]
         phase_stats.append(last_stats)
     # hand survivors' pixels back to ray order by RE-SORTING on the
     # unique original ray id instead of scattering: a 1M-row scatter
@@ -1617,7 +1649,11 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
     # the final phase; taking acc_pix for them preserves earlier
     # phases' colours bit-for-bit.
     active_sorted = state_in[-1].reshape(Rp) > 0.0
-    out_sorted = out.reshape(Rp)
+    # the final phase emits state like every other phase (shared compile);
+    # packing moves outside the kernel — IEEE-identical arithmetic, so
+    # the image stays bit-identical
+    out_sorted = pack_pix(out[9].reshape(Rp), out[10].reshape(Rp),
+                          out[11].reshape(Rp))
     # merge the final phase's pixels with earlier phases' BEFORE the
     # unpermute — where() commutes with the permutation, so the sort
     # carries one payload instead of three (measured: payload count is

@@ -68,6 +68,22 @@ def main():
                   f"{'OK' if bad == 0 else 'MISMATCH'} ({bad:.4%})",
                   flush=True)
             failures += bad > 0
+
+    # HBM-streamed dynamic sweep (C > 1024: double-buffered sphere DMA)
+    soup = scenes.random_spheres(200_000, seed=3)
+    ps = jax.block_until_ready(jax.jit(pk.build_pallas_scene)(soup))
+    kw = dict(block=(16, 16), tile=256, max_depth=5)
+    hw = np.asarray(jax.device_get(jax.jit(
+        lambda ps, cam: pk.render_pallas(ps, cam, 48, 48, **kw))(
+            ps, camera((0., 0., 3.), (0., 0., -1.), (0., 1., 0.),
+                       75.0, 1.0))))
+    it = np.asarray(pk.render_pallas(
+        ps, camera((0., 0., 3.), (0., 0., -1.), (0., 1., 0.), 75.0, 1.0),
+        48, 48, interpret=True, **kw))
+    bad = (hw != it).mean()
+    print(f"soup-200k d5 hbm-stream: {'OK' if bad == 0 else 'MISMATCH'} "
+          f"({bad:.4%})", flush=True)
+    failures += bad > 0
     return 1 if failures else 0
 
 
