@@ -134,13 +134,22 @@ def main():
                         "docs", "MICROBENCH.json")))
                     ceil_ops = (mb["fma_ilp4_vregops_per_cycle"] * 1024
                                 * mb["clock_ghz"] * 1e9)
+                    # ~25 VPU wide-ops per slot-test (PERF_NOTES
+                    # roofline).  Values near/above 1.0 mean the kernel
+                    # sustains the fma-microbench issue limit — i.e.
+                    # visit math IS the wall; well below 1.0 means
+                    # per-tile fixed costs (cull rows, scalar gates)
+                    # dominate and fatter tiles / coarser gates pay.
                     util = (slot * 25.0) / (ceil_ops * dev_ms / 1e3)
                     details[f"{name}_vpu_issue_util"] = round(util, 3)
+                    details[f"{name}_gslot_tests_per_s"] = round(
+                        slot / (dev_ms / 1e3) / 1e9, 2)
                     log(f"{name}: device {dev_ms:.2f} ms, "
                         f"{slot/1e9:.2f}e9 slot-tests "
                         f"({details[f'{name}_slot_tests_per_ray_bounce']:.0f}"
-                        f"/ray-bounce), {util*100:.0f}% of VPU issue "
-                        f"ceiling")
+                        f"/ray-bounce, "
+                        f"{details[f'{name}_gslot_tests_per_s']:.1f}e9/s), "
+                        f"{util*100:.0f}% of VPU issue ceiling")
             except Exception as e:  # pragma: no cover
                 log(f"{name}: stats run failed: {type(e).__name__}: {e}")
         details[f"{name}_bvh_ms"] = bvh_s * 1e3

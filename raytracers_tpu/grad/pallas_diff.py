@@ -284,10 +284,13 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
         segment and reduce all slot cotangents to tab_slot (S, 7).
         Returns (tab_slot, [cotray per segment])."""
         cotrays = []
-        if C <= 16:
+        if C <= 128:
             # in-kernel slot reduction (the (rays, slots) one-hot never
-            # leaves VMEM); per-cluster NT-dot cost grows with C, so
-            # larger scenes fall back to the batched XLA segment-sum
+            # leaves VMEM), chunked by 8 clusters so the masked stack
+            # stays small at any C <= 128 (irreg C=79: the XLA one-hot
+            # fallback measured 547 ms fwd+bwd; in-kernel ~90).  Scenes
+            # beyond the (C*24, 128) f32 table budget (C > 128) fall
+            # back to the batched XLA segment-sum
             acc = None
             for rec_s, pay_s, gcot_s, state_s, bt, D_s in segs:
                 tblred, cotray = replay_bwd_pallas(

@@ -391,15 +391,26 @@ def _replay_bwd_kernel(params_ref, rec_ref, pay_ref, gcot_ref, *refs,
             lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
             split24 = jnp.concatenate([hi, mid, lo], axis=0)   # (24, T)
             cidx = jax.lax.shift_right_arithmetic(rec, 7)      # (1, T)
-            bigcot = jnp.concatenate(
-                [split24 * (cidx == c).astype(jnp.bfloat16)
-                 for c in range(C)], axis=0)                   # (C*24, T)
             lane = rec & jnp.int32(127)
             lane_oh = (jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
                        == lane).astype(jnp.bfloat16)           # (128, T)
-            cot_ref[0, :, :] = cot_ref[0, :, :] + jax.lax.dot_general(
-                bigcot, lane_oh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (C*24, 128)
+            # accumulate in chunks of <= 8 clusters: the (cc*24, T)
+            # masked stack stays under ~0.8 MB VMEM at any C, so this
+            # in-kernel reduction scales to C = 128 (irreg's grad path
+            # fell back to the XLA (Rp, C*128) one-hot segment-sum
+            # before — measured 547 ms fwd+bwd vs ~90 here).  Each slot
+            # row belongs to exactly one chunk, so chunked accumulation
+            # is bit-identical to the single big dot.
+            for c0 in range(0, C, 8):
+                cc = min(8, C - c0)
+                chunk = jnp.concatenate(
+                    [split24 * (cidx == c).astype(jnp.bfloat16)
+                     for c in range(c0, c0 + cc)], axis=0)     # (cc*24, T)
+                acc = jax.lax.dot_general(
+                    chunk, lane_oh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # (cc*24,128)
+                cot_ref[0, c0 * 24:(c0 + cc) * 24, :] = (
+                    cot_ref[0, c0 * 24:(c0 + cc) * 24, :] + acc)
         else:
             for row, val in enumerate((ccx, ccy, ccz, crad,
                                        ccolr, ccolg, ccolb, zero)):

@@ -99,20 +99,23 @@ def render_pallas_sharded(scene, cam, height: int, width: int,
     # bit-identical; these are the fast ones).  Small images fall back
     # to (32,16)/512: a 64-row block would pad every device's slab to
     # 64 rows and burn the saving on padding lanes.
+    from ..render.api import pallas_config
+
     C = scene.n_clusters
+    dtile, dblock, dsched, dpref = pallas_config(C)
     if tile is None or block is None:
-        if C > 128 or height < n * 64 or width < 32:
+        if height < n * 64 or width < 32:
+            # small images: a 64-row block would pad every device's slab
             tile, block = 512, (32, 16)
         else:
-            tile, block = 2048, (64, 32)
+            tile, block = dtile, dblock
     if schedule is None:
         # same measured-best schedules + boundary sort prefixes as the
         # unsharded api.render defaults (each shard's slab sorts
         # independently; prefixes are exact for any survival rate)
-        schedule = ((3, 4, 8) if C <= 16 else (3, 6)) if C <= 128 else (3, 6)
+        schedule = dsched
         if sort_prefix is None:
-            sort_prefix = ((None, 0.5, 0.25) if C <= 16
-                           else (None, 0.25))
+            sort_prefix = dpref
     bh = block[0] if block is not None else 1
     rows_per = -(-height // (n * bh)) * bh       # slab height, block-aligned
     hp = rows_per * n

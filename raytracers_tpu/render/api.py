@@ -70,9 +70,13 @@ def _oracle(prepared: PreparedScene, mode: str):
 def pallas_config(C: int):
     """Measured-best megakernel config by scene class:
     (tile, block, schedule, sort_prefix).  See render() for the sweep
-    provenance."""
+    provenance.  Round 4: the scene-scale class moved to tile 2048 —
+    the round-2 Mosaic crash on the multi-block path is gone, and the
+    instrumented counters showed plane at 23% VPU utilization at tile
+    512 (per-tile cull rows + scalar gates dominated); 2048/(64,32) +
+    schedule (2,4,8) measured 122.3 -> 97.6 ms."""
     if C > 128:
-        return 512, (32, 16), (3, 6), (None, 0.25)
+        return 2048, (64, 32), (2, 4, 8), (None, 0.25, 0.12)
     if C <= 16:
         return 2048, (64, 32), (3, 4, 8), (None, 0.5, 0.25)
     return 2048, (64, 32), (3, 6), (None, 0.25)

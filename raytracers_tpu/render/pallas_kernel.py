@@ -119,7 +119,8 @@ class PallasScene(NamedTuple):
 
 
 def build_pallas_scene(sph: Spheres,
-                       sort_origin=None) -> PallasScene:
+                       sort_origin=None,
+                       cull_rows: int | None = None) -> PallasScene:
     """Morton-sort + cluster the scene into the packed kernel layout.
 
     ``sort_origin`` (optional (3,) point, normally the camera origin)
@@ -138,6 +139,13 @@ def build_pallas_scene(sph: Spheres,
     later blocks' clusters.  (Reordering whole blocks would move the
     partial block off the tail, breaking the padding-flag zeroing and the
     static per-block visit counts.)
+
+    ``cull_rows`` overrides the per-block cull-row count CR for
+    scene-scale scenes (C > 128; default 128).  Smaller CR = finer
+    super-block gating: the per-cluster slab cull runs on (CR, T) rows
+    per FLAGGED block only, so fewer irrelevant rows ride each cull, at
+    the cost of more scalar block gates.  Semantics identical (culling
+    is conservative at any grouping).
     """
     n = sph.center.shape[0]
     if n <= LANE:
@@ -177,6 +185,14 @@ def build_pallas_scene(sph: Spheres,
     CB = -(-C // LANE)
     s = bvh.spheres
 
+    # cull rows per block: for small scenes the slab test runs on
+    # (CR, T) arrays instead of (128, T) — at rgbbox's C=4 that is 2
+    # vregs per op instead of 64 (the padding rows were 97% of the
+    # culling cost).  Scene-scale scenes take CR=128 by default or the
+    # ``cull_rows`` override (finer super-block gating).
+    CR = (max(8, -(-C // 8) * 8) if C <= LANE
+          else max(8, min(LANE, cull_rows or LANE) // 8 * 8))
+
     leaf_min, leaf_max = bvh.leaf_min, bvh.leaf_max
     order2d = bvh.order.reshape(C, LANE)
     perm = None
@@ -184,11 +200,11 @@ def build_pallas_scene(sph: Spheres,
         o = jnp.asarray(sort_origin, jnp.float32)
         ctr = 0.5 * (leaf_min + leaf_max)
         dist = jnp.sum((ctr - o) ** 2, axis=1)
-        # per-128-cluster-block argsort (block size matches the sweep's
-        # CR=LANE rows at C > 128; one global block otherwise)
-        segs = [b0 + jnp.argsort(dist[b0:min(b0 + LANE, C)])
-                for b0 in range(0, C, LANE)]
-        n_full = C // LANE
+        # per-cull-block argsort (block size matches the sweep's CR rows
+        # at C > 128; one global block otherwise)
+        segs = [b0 + jnp.argsort(dist[b0:min(b0 + CR, C)])
+                for b0 in range(0, C, CR)]
+        n_full = C // CR
         if n_full >= 2:
             # scene-scale: ALSO order the full blocks front-to-back (the
             # partial tail block stays last — padding-flag zeroing and the
@@ -197,8 +213,8 @@ def build_pallas_scene(sph: Spheres,
             # behind the current best hit, so near blocks first maximise
             # pruning of the far ones; each block's members (and hence its
             # super-union AABB) travel with it untouched.
-            blk_d = jnp.stack([jnp.min(dist[b0:b0 + LANE])
-                               for b0 in range(0, n_full * LANE, LANE)])
+            blk_d = jnp.stack([jnp.min(dist[b0:b0 + CR])
+                               for b0 in range(0, n_full * CR, CR)])
             border = jnp.argsort(blk_d)
             full = jnp.stack(segs[:n_full])
             segs = [full[border].reshape(-1)] + segs[n_full:]
@@ -218,11 +234,6 @@ def build_pallas_scene(sph: Spheres,
     ], axis=1)                                            # (C, 8, 128)
     sphT = jnp.swapaxes(sph8, 1, 2)                       # (C, 128, 8)
 
-    # cull rows per block: for small scenes the slab test runs on
-    # (CR, T) arrays instead of (128, T) — at rgbbox's C=4 that is 2
-    # vregs per op instead of 64 (the padding rows were 97% of the
-    # culling cost)
-    CR = max(8, -(-C // 8) * 8) if C <= LANE else LANE
     CB = -(-C // CR)
 
     def pad_clusters(x, fill):

@@ -181,6 +181,13 @@ def test_pallas_scene_scale_100k():
     unculled = np.asarray(render_pallas(ps, cam, 16, 16, max_depth=2,
                                         interpret=True, cull=False))
     np.testing.assert_array_equal(img, unculled)
+    # cull_rows (finer cull blocks, CR=32 -> CB=25) is a pure regrouping
+    # of the same conservative cull: bit-identical
+    ps32 = build_pallas_scene(sph, cull_rows=32)
+    assert ps32.aabbT.shape[:2] == (-(-ps32.n_clusters // 32), 32)
+    img32 = np.asarray(render_pallas(ps32, cam, 16, 16, max_depth=2,
+                                     interpret=True, cull=True))
+    np.testing.assert_array_equal(img, img32)
     # vs the oracle, allow tie-flips: an overlapping random soup is full
     # of near-coincident surfaces where the packed-key argmin and the
     # oracle argmin may disagree within an ulp

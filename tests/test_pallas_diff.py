@@ -301,3 +301,38 @@ def test_pallas_bwd_prefix_sort():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g3)):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() <= 1e-5 * (np.abs(a).max() + 1e-8)
+
+
+def test_pallas_bwd_chunked_reduce_large_c():
+    """C > 8 exercises the chunked in-kernel slot reduction (irreg-class
+    scenes used to fall back to the XLA (Rp, C*128) one-hot segment-sum
+    — 547 ms measured at 1000^2; the chunked reduction keeps the one-hot
+    in VMEM at any C <= 128).  Chunked accumulation touches disjoint
+    row ranges, so gradients must match the XLA engine to the same
+    shallow-depth tolerance as the small-C test."""
+    import numpy as np
+
+    sph = scenes.random_spheres(1330, seed=5, extent=12.0)
+    cam = camera((0.0, 2.0, 30.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                 75.0, 1.0)
+
+    def lossf(f):
+        def L(s, c):
+            img = f(s, c)
+            w = jnp.sin(jnp.arange(img.size,
+                                   dtype=jnp.float32)).reshape(img.shape)
+            return jnp.sum(img * w)
+        return L
+
+    f_x = make_render_pallas_diff(W, H, max_depth=2, interpret=True,
+                                  backward="xla")
+    f_p = make_render_pallas_diff(W, H, max_depth=2, interpret=True,
+                                  backward="pallas")
+    np.testing.assert_array_equal(np.asarray(f_x(sph, cam)),
+                                  np.asarray(f_p(sph, cam)))
+    gx = jax.grad(lossf(f_x), argnums=(0,))(sph, cam)
+    gp = jax.grad(lossf(f_p), argnums=(0,))(sph, cam)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / scale < 3e-3
