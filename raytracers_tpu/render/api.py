@@ -76,10 +76,14 @@ def pallas_config(C: int):
     512 (per-tile cull rows + scalar gates dominated); 2048/(64,32) +
     schedule (2,4,8) measured 122.3 -> 97.6 ms."""
     if C > 128:
-        return 2048, (64, 32), (2, 4, 8), (None, 0.25, 0.12)
+        # block-shape sweep (runtime block params, round 4): (8,256)
+        # wide-shallow tiles suit the horizon view — 94.3 -> 84.7 ms;
+        # schedule re-sweep at that shape: (2,3,6) 82.8 vs (2,4,8) 85.8
+        return 2048, (8, 256), (2, 3, 6), (None, 0.25, 0.12)
     if C <= 16:
         return 2048, (64, 32), (3, 4, 8), (None, 0.5, 0.25)
-    return 2048, (64, 32), (3, 6), (None, 0.25)
+    # irreg-class: (32,64) measured 41.3 vs 43.4 at (64,32) (round 4)
+    return 2048, (32, 64), (3, 6), (None, 0.25)
 
 
 def render(prepared: PreparedScene, height: int, width: int,
@@ -111,12 +115,13 @@ def render(prepared: PreparedScene, height: int, width: int,
         #   schedule (3, 6) (round-3 re-sweep at prefixed sorts: 40.8 ms
         #   vs 41.9 at the old (3, 8), (3, 7) 41.4 — shallow mean depth,
         #   small deep tail).
-        # * C > 128 (scene-scale, multi-block sweeps): tile 512/(32,16)
-        #   — tile 2048 crashes the Mosaic compiler on the multi-block
-        #   path — schedule (3, 6) (round-3 re-sweep: 128.2 ms vs 147.1
-        #   at the old (6,); with the trimmed visit the dead-tile
-        #   capping dominates even on visit-bound big scenes.  (3,8)
-        #   131.8, (3,5) 130.8, (2,6) 158.8, (3,6,12) 134.0).
+        # * C > 128 (scene-scale, multi-block sweeps): round 4 moved to
+        #   tile 2048/(64,32), schedule (2, 4, 8) — the round-2 Mosaic
+        #   crash on the tile-2048 multi-block path no longer
+        #   reproduces, and the instrumented counters showed tile 512
+        #   running at 23% VPU utilization (per-tile cull rows + scalar
+        #   gates).  plane-100k 122.3 -> 97.6 ms; cull_rows default 64
+        #   shaves a further ~2%.
         # Boundary sorts shrink geometrically with the schedule: boundary
         # k re-packs only the prefix the previous boundary packed
         # survivors into (sort_prefix; EXACT for any survival rate —

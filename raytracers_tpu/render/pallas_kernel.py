@@ -190,8 +190,11 @@ def build_pallas_scene(sph: Spheres,
     # vregs per op instead of 64 (the padding rows were 97% of the
     # culling cost).  Scene-scale scenes take CR=128 by default or the
     # ``cull_rows`` override (finer super-block gating).
+    # scene-scale default CR=64: measured plane-100k 97.2 (CR=128) vs
+    # 95.4 ms (CR=64/32) — finer blocks cull fewer irrelevant rows and
+    # the extra scalar block gates stay cheap (round-4 sweep)
     CR = (max(8, -(-C // 8) * 8) if C <= LANE
-          else max(8, min(LANE, cull_rows or LANE) // 8 * 8))
+          else max(8, min(LANE, cull_rows or 64) // 8 * 8))
 
     leaf_min, leaf_max = bvh.leaf_min, bvh.leaf_max
     order2d = bvh.order.reshape(C, LANE)
@@ -889,11 +892,15 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         if record_pay:
             # the winner's 8 sphere fields for the Pallas backward
             # replay (grad/pallas_replay_bwd.py) — already extracted by
-            # the one-hot payload; rows beyond the hit mask are the pay
-            # init (ones) / stale values and are where-masked by the
-            # consumer via the rec events
-            for pr, val in enumerate((scx, scy, scz, srad, sr_, sg_, sb_)):
-                pay_ref[0, pl.ds(depth, 1), pl.ds(pr, 1), :] = val.reshape(
+            # the one-hot payload; rows beyond the hit mask are
+            # where-masked by the consumer via the rec events.  Row 7
+            # is unused by the replay; writing ones keeps the tensor
+            # fully defined.
+            for pr, val in enumerate((scx, scy, scz, srad, sr_, sg_, sb_,
+                                      None)):
+                v = (jnp.ones((1, T), jnp.float32) if val is None
+                     else val)
+                pay_ref[0, pl.ds(depth, 1), pl.ds(pr, 1), :] = v.reshape(
                     1, 1, T)
 
         # sky gradient (ray.fut:141-148)
@@ -930,17 +937,29 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         # bounces past a tile's early exit read as 'inactive' in replay
         for dd in range(max_depth):
             rec_ref[0, dd:dd + 1, :] = jnp.full((1, T), -2, jnp.int32)
-    if record_pay:
-        # ones (not zeros): the backward replay divides by the recorded
-        # radius before masking, and 0-init would put NaN-breeding infs
-        # next to the where-masks
-        pay_ref[0, :, :, :] = jnp.ones((max_depth, 8, T), jnp.float32)
-
     state = (jnp.int32(0), jnp.sum(active0), ox, oy, oz, dx, dy, dz,
              lr0, lg0, lb0, rr0, rg0, rb0, active0)
     if emit_stats:
         state = state + (jnp.zeros((1, T), jnp.float32),)
     state = jax.lax.while_loop(bounce_cond, bounce_body, state)
+    if record_pay:
+        # ones (not zeros) for the rows the bounce loop did not reach:
+        # the backward replay divides by the recorded radius before
+        # masking, and 0 would put NaN-breeding infs next to the
+        # where-masks.  Filled AFTER the loop for [exit_depth, D) and
+        # only on live-at-entry tiles — all-dead tiles skip both
+        # backward passes via the step-0 record gate (segment 0 has no
+        # dead tiles), so their pay block is never read; the old
+        # up-front full (D, 8, T) init cost ~2 ms of VMEM stores on the
+        # deep segment's mostly-dead tiles.
+        @pl.when(jnp.sum(active0) > 0.0)
+        def _fill_pay():
+            def fill(dd, c):
+                for pr in range(8):
+                    pay_ref[0, pl.ds(dd, 1), pl.ds(pr, 1), :] = jnp.ones(
+                        (1, 1, T), jnp.float32)
+                return c
+            jax.lax.fori_loop(state[0], max_depth, fill, 0)
     if emit_stats:
         # row 0: per-lane sphere rows tested (Σ over this ray's executed
         # visits); row 1: bounce sweeps this tile ran.  Exact executed

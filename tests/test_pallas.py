@@ -87,11 +87,12 @@ def test_pallas_nonsquare_and_ragged_tiles():
 
 def test_pallas_cluster_culling_multi_block():
     # irreg has 79 clusters (single block); force multi-block coverage with
-    # a random 20k-sphere soup -> 157 clusters -> 2 cluster blocks
+    # a random 20k-sphere soup -> 157 clusters -> 3 cluster blocks at the
+    # scene-scale default CR=64 (round 4)
     from raytracers_tpu.scenes import random_spheres
     sph = random_spheres(20_000, seed=5, extent=200.0)
     ps = build_pallas_scene(sph)
-    assert ps.aabbT.shape[0] == 2
+    assert ps.aabbT.shape[0] > 1
     cam = camera((0., 0., 260.), (0., 0., 0.), (0., 1., 0.), 60.0, 1.0)
     img = np.asarray(render_pallas(ps, cam, 32, 32, max_depth=2,
                                    interpret=True))
