@@ -16,7 +16,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import jax  # noqa: E402
 
-ON_TPU = jax.devices()[0].platform == "tpu"
+from raytracers_tpu.utils.platform import probe_tpu  # noqa: E402
+
+ON_TPU = probe_tpu()
 if not ON_TPU:
     jax.config.update("jax_platforms", "cpu")
 

@@ -29,7 +29,7 @@ from ..geometry import SCENE_EPSILON, T_MAX, T_MIN, aabb_hit, sphere_hit_t
 from ..vec import Aabb
 from .lbvh import Bvh
 
-INF = jnp.float32(jnp.inf)
+INF = float("inf")          # python float: no device op at import time
 
 
 def closest_hit_bvh(bvh: Bvh, origins, dirs,

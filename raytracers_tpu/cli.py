@@ -61,9 +61,10 @@ def main(argv=None) -> int:
     if args.mode is None:
         # the reference's driver always runs its fast path; ours is the
         # megakernel on TPU (the XLA traversal elsewhere — the megakernel
-        # only interprets off-TPU)
-        args.mode = ("pallas" if jax.devices()[0].platform == "tpu"
-                     else "bvh")
+        # only interprets off-TPU).  probe_tpu degrades to CPU instead
+        # of crashing when the chip is held by another process.
+        from .utils.platform import probe_tpu
+        args.mode = "pallas" if probe_tpu() else "bvh"
 
     from . import scenes
     from .image import write_image

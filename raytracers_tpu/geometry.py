@@ -28,7 +28,7 @@ SCENE_EPSILON = 0.1     # t_min used for sphere tests inside traversal (ray.fut:
 T_MIN = 0.0             # top-level t_min (ray.fut:130)
 T_MAX = 1e9             # top-level t_max (ray.fut:130)
 MAX_DEPTH = 50          # bounce limit (ray.fut:154)
-INF = jnp.float32(jnp.inf)
+INF = float("inf")          # python float: no device op at import time
 
 
 class Spheres(NamedTuple):
