@@ -134,3 +134,14 @@ def test_train_state_resume_no_regression(tmp_path):
             checkpoint_dir=ckdir, checkpoint_every=10,
             callback=lambda i, l, s: losses_b.append(l))
     np.testing.assert_allclose(losses_b, losses_a[2:], rtol=1e-5)
+
+
+def test_probe_tpu_cpu_fallback():
+    """probe_tpu returns False on the CPU test platform and leaves the
+    process usable (no exception when the accelerator is absent/held)."""
+    import jax
+
+    from raytracers_tpu.utils.platform import probe_tpu
+
+    assert probe_tpu() is False
+    assert jax.devices()[0].platform == "cpu"
