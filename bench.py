@@ -35,8 +35,10 @@ def main():
     except Exception as e:  # pragma: no cover - cache is best-effort
         log(f"compile cache unavailable: {e}")
 
+    from raytracers_tpu.utils.platform import probe_tpu
+
+    on_tpu = probe_tpu()      # degrades to CPU if the chip is held
     platform = jax.devices()[0].platform
-    on_tpu = platform == "tpu"
     log(f"bench: platform={platform} devices={jax.devices()}")
 
     import jax.numpy as jnp
@@ -129,18 +131,19 @@ def main():
                 details[f"{name}_slot_tests_per_ray_bounce"] = (
                     slot / max(1.0, float(stats["ray_bounces"])))
                 if dev_ms:
+                    from raytracers_tpu.utils.profiling import (
+                        OPS_PER_SLOT, vpu_ceiling_lane_ops)
                     mb = json.load(open(os.path.join(
                         os.path.dirname(os.path.abspath(__file__)),
                         "docs", "MICROBENCH.json")))
-                    ceil_ops = (mb["fma_ilp4_vregops_per_cycle"] * 1024
-                                * mb["clock_ghz"] * 1e9)
-                    # ~25 VPU wide-ops per slot-test (PERF_NOTES
-                    # roofline).  Values near/above 1.0 mean the kernel
-                    # sustains the fma-microbench issue limit — i.e.
-                    # visit math IS the wall; well below 1.0 means
-                    # per-tile fixed costs (cull rows, scalar gates)
-                    # dominate and fatter tiles / coarser gates pay.
-                    util = (slot * 25.0) / (ceil_ops * dev_ms / 1e3)
+                    ceil_ops = vpu_ceiling_lane_ops(mb)
+                    # Values near/above 1.0 mean the kernel sustains
+                    # the fma-microbench issue limit — i.e. visit math
+                    # IS the wall; well below 1.0 means per-tile fixed
+                    # costs (cull rows, scalar gates) dominate and
+                    # fatter tiles / coarser gates pay.
+                    util = (slot * OPS_PER_SLOT) / (ceil_ops * dev_ms
+                                                    / 1e3)
                     details[f"{name}_vpu_issue_util"] = round(util, 3)
                     details[f"{name}_gslot_tests_per_s"] = round(
                         slot / (dev_ms / 1e3) / 1e9, 2)
@@ -190,8 +193,6 @@ def main():
         sc = scenes.by_name("rgbbox")
         if on_tpu:
             from raytracers_tpu.grad.pallas_diff import make_render_pallas_diff
-            cam = mk_camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov,
-                            W / H)
             # measured-best fwd+bwd config on v5e (tools/fwdbwd_check.py
             # sweep): fused Pallas backward, 2048-ray (32, 64) block
             # tiles, survivor compaction at depths (4, 8) in BOTH

@@ -104,8 +104,9 @@ def render_pallas_sharded(scene, cam, height: int, width: int,
     C = scene.n_clusters
     dtile, dblock, dsched, dpref = pallas_config(C)
     if tile is None or block is None:
-        if height < n * 64 or width < 32:
-            # small images: a 64-row block would pad every device's slab
+        if height < n * dblock[0] or width < dblock[1]:
+            # small images: the class-default block would pad every
+            # device's slab beyond its real rows
             tile, block = 512, (32, 16)
         else:
             tile, block = dtile, dblock

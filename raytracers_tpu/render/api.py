@@ -73,8 +73,9 @@ def pallas_config(C: int):
     provenance.  Round 4: the scene-scale class moved to tile 2048 —
     the round-2 Mosaic crash on the multi-block path is gone, and the
     instrumented counters showed plane at 23% VPU utilization at tile
-    512 (per-tile cull rows + scalar gates dominated); 2048/(64,32) +
-    schedule (2,4,8) measured 122.3 -> 97.6 ms."""
+    512 (per-tile cull rows + scalar gates dominated).  Final config
+    2048/(8,256)/(2,3,6): 122.3 -> 82.8 ms across the tile, schedule,
+    block-shape, and cull-rows sweeps; tile 4096 measured a loss."""
     if C > 128:
         # block-shape sweep (runtime block params, round 4): (8,256)
         # wide-shallow tiles suit the horizon view — 94.3 -> 84.7 ms;
@@ -116,12 +117,13 @@ def render(prepared: PreparedScene, height: int, width: int,
         #   vs 41.9 at the old (3, 8), (3, 7) 41.4 — shallow mean depth,
         #   small deep tail).
         # * C > 128 (scene-scale, multi-block sweeps): round 4 moved to
-        #   tile 2048/(64,32), schedule (2, 4, 8) — the round-2 Mosaic
-        #   crash on the tile-2048 multi-block path no longer
-        #   reproduces, and the instrumented counters showed tile 512
-        #   running at 23% VPU utilization (per-tile cull rows + scalar
-        #   gates).  plane-100k 122.3 -> 97.6 ms; cull_rows default 64
-        #   shaves a further ~2%.
+        #   tile 2048, (8,256) wide-shallow blocks, schedule (2, 3, 6)
+        #   — the round-2 Mosaic crash on the tile-2048 multi-block
+        #   path no longer reproduces, and the instrumented counters
+        #   showed tile 512 running at 23% VPU utilization (per-tile
+        #   cull rows + scalar gates).  plane-100k 122.3 -> 82.8 ms
+        #   across the tile/schedule/block/cull-rows sweeps; tile 4096
+        #   measured a loss (wider unions beat the fixed-cost halving).
         # Boundary sorts shrink geometrically with the schedule: boundary
         # k re-packs only the prefix the previous boundary packed
         # survivors into (sort_prefix; EXACT for any survival rate —

@@ -182,17 +182,15 @@ def build_pallas_scene(sph: Spheres,
         # dynamic-trip-count refit/skip sweeps were the entire cost)
         bvh = build_clusters(sph, leaf_size=LANE)
     C = bvh.n_leaves
-    CB = -(-C // LANE)
     s = bvh.spheres
 
     # cull rows per block: for small scenes the slab test runs on
     # (CR, T) arrays instead of (128, T) — at rgbbox's C=4 that is 2
     # vregs per op instead of 64 (the padding rows were 97% of the
-    # culling cost).  Scene-scale scenes take CR=128 by default or the
-    # ``cull_rows`` override (finer super-block gating).
-    # scene-scale default CR=64: measured plane-100k 97.2 (CR=128) vs
-    # 95.4 ms (CR=64/32) — finer blocks cull fewer irrelevant rows and
-    # the extra scalar block gates stay cheap (round-4 sweep)
+    # culling cost).  Scene-scale scenes (C > 128) default to CR=64
+    # (or the ``cull_rows`` override): measured plane-100k 97.2 ms at
+    # CR=128 vs 95.4 at CR=64/32 — finer blocks cull fewer irrelevant
+    # rows and the extra scalar block gates stay cheap (round-4 sweep).
     CR = (max(8, -(-C // 8) * 8) if C <= LANE
           else max(8, min(LANE, cull_rows or 64) // 8 * 8))
 
@@ -583,11 +581,19 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                         # sphere tables exceed VMEM at this C: the block
                         # was DMA'd ahead by the run's double-buffer
                         # rotation (see visit()); pick this cluster's
-                        # buffer by parity (arithmetic select: 3 ops on
-                        # one (8,128) vreg) and transpose in-register
-                        parf = (c & 1).astype(jnp.float32)
-                        blk8 = (bufA_ref[:, :] * (1.0 - parf)
-                                + bufB_ref[:, :] * parf)
+                        # buffer by parity.  The select runs in INT32
+                        # bit space: the inactive buffer is
+                        # uninitialized scratch (or mid-DMA), and an f32
+                        # arithmetic select would turn an Inf/NaN bit
+                        # pattern there into NaN (Inf*0 = NaN) — int
+                        # multiply by 0 is 0 for any bits.
+                        par = (c & 1)
+                        a_i = jax.lax.bitcast_convert_type(
+                            bufA_ref[:, :], jnp.int32)
+                        b_i = jax.lax.bitcast_convert_type(
+                            bufB_ref[:, :], jnp.int32)
+                        blk8 = jax.lax.bitcast_convert_type(
+                            a_i * (1 - par) + b_i * par, jnp.float32)
                         blkT = jnp.swapaxes(blk8, 0, 1)
                     elif hbm_spheres:
                         # non-streaming fallback (uncull/simple sweeps):

@@ -19,6 +19,8 @@ def probe_tpu() -> bool:
 
     try:
         return jax.devices()[0].platform == "tpu"
-    except RuntimeError:
+    except Exception:
+        # RuntimeError for a held chip; plugin-specific/OS errors for a
+        # dead tunnel — degrade to CPU for any of them
         jax.config.update("jax_platforms", "cpu")
         return False

@@ -85,3 +85,18 @@ def device_kernel_ms(log_dir: str) -> dict:
             if e.get("ph") == "X" and e.get("pid") in dev_pids:
                 out[e.get("name", "?")] += e.get("dur", 0) / 1e3
     return dict(out)
+
+
+# ---- shared roofline model (docs/PERF_NOTES.md; docs/MICROBENCH.json) ----
+
+OPS_PER_SLOT = 25.0      # VPU wide-ops per sphere-row slot-test
+CULL_OPS_PER_ROW = 20.0  # slab ops per cull row
+
+
+def vpu_ceiling_lane_ops(microbench: dict) -> float:
+    """Lane-ops/s at the microbenched issue rate (the fma probe's best
+    ILP figure x 1024 lanes x the measured clock).  Real kernels can
+    exceed it — values near/above 1.0 of this ceiling mean the visit
+    math IS the wall."""
+    return (microbench["fma_ilp4_vregops_per_cycle"] * 1024
+            * microbench["clock_ghz"] * 1e9)

@@ -22,18 +22,17 @@ jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 from raytracers_tpu import scenes
 from raytracers_tpu.render.api import (pallas_config, prepare_scene, render,
                                        render_stats)
+from raytracers_tpu.utils.profiling import (CULL_OPS_PER_ROW, OPS_PER_SLOT,
+                                            vpu_ceiling_lane_ops)
 from raytracers_tpu.utils.timing import bench_salted
 
 W = H = 1000
-OPS_PER_SLOT = 25.0          # VPU wide-ops per sphere-row test (PERF_NOTES)
-CULL_OPS_PER_ROW = 20.0      # slab ops per cull row
 
 
 def main():
     names = sys.argv[1:] or ["rgbbox", "irreg", "plane"]
     mb = json.load(open("docs/MICROBENCH.json"))
-    lane_rate = mb["fma_ilp4_vregops_per_cycle"] * 1024 * \
-        mb["clock_ghz"] * 1e9          # lane-ops/s ceiling
+    lane_rate = vpu_ceiling_lane_ops(mb)
     print(f"devices: {jax.devices()}  ceiling {lane_rate/1e12:.2f}e12 "
           f"lane-ops/s", flush=True)
     for name in names:
