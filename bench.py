@@ -193,16 +193,17 @@ def main():
         sc = scenes.by_name("rgbbox")
         if on_tpu:
             from raytracers_tpu.grad.pallas_diff import make_render_pallas_diff
-            # measured-best fwd+bwd config on v5e (tools/fwdbwd_check.py
-            # sweep): fused Pallas backward, 2048-ray (32, 64) block
-            # tiles, survivor compaction at depths (4, 8) in BOTH
-            # directions with a 0.5-prefix second boundary sort
-            # (the second boundary caps the packed deep tail exactly
-            # like the plain renderer's schedule; deeper schedules cost
-            # the backward a gflat gather + carry sort per boundary)
+            # measured-best fwd+bwd config on v5e: fused Pallas
+            # backward, 2048-ray (64, 32) block tiles, survivor
+            # compaction at the forward's (3, 4, 8) schedule with
+            # prefix-bounded boundary sorts.  Round-4 same-session
+            # sweep: 74.2/74.5 ms vs 75.4/75.6 at the old
+            # (4,8)/(32,64) — prefix sorts made the third boundary's
+            # backward cost (gflat gather + carry sort) smaller than
+            # the forward bounce work it sheds.
             f = make_render_pallas_diff(W, H, max_depth=50, tile=2048,
-                                        block=(32, 64), schedule=(4, 8),
-                                        sort_prefix=(None, 0.5))
+                                        block=(64, 32), schedule=(3, 4, 8),
+                                        sort_prefix=(None, 0.5, 0.25))
 
             def loss(sph, cam):
                 img = f(sph, cam)

@@ -10,4 +10,4 @@ from . import vec, geometry, scenes, image
 from .geometry import Spheres, Camera, camera
 from .scenes import rgbbox, irreg, random_spheres, Scene
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
