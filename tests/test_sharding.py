@@ -234,3 +234,28 @@ def test_sharded_tiny_image_many_devices():
     img = np.asarray(render_sharded(prep, 2, 3, mode="bvh", max_depth=2))
     single = np.asarray(render(prep, 2, 3, mode="bvh", max_depth=2))
     np.testing.assert_array_equal(img, single)
+
+
+def test_sharded_scene_scale_class_bitexact():
+    """Scene-scale class (C > 128: multi-block cull, CR=64 blocks,
+    (8,256) wide-shallow tiles) through the sharded driver on the
+    8-device virtual mesh must reproduce the single-device render
+    bit-for-bit.  256x64 keeps the class-default block in play (the
+    small-image guard would otherwise fall back to (32,16))."""
+    from raytracers_tpu import camera as mk_camera
+    from raytracers_tpu.parallel.mesh import ray_mesh, render_pallas_sharded
+    from raytracers_tpu.render.pallas_kernel import (build_pallas_scene,
+                                                     render_pallas)
+    from raytracers_tpu.scenes import random_spheres
+
+    sph = random_spheres(20_000, seed=7, extent=200.0)
+    ps = build_pallas_scene(sph)
+    assert ps.n_clusters > 128                 # scene-scale class
+    cam = mk_camera((0., 0., 260.), (0., 0., 0.), (0., 1., 0.), 60.0,
+                    256 / 64)
+    single = np.asarray(render_pallas(ps, cam, 256, 64, max_depth=2,
+                                      tile=2048, block=(8, 256),
+                                      interpret=True))
+    sharded = np.asarray(render_pallas_sharded(
+        ps, cam, 64, 256, mesh=ray_mesh(), max_depth=2, interpret=True))
+    np.testing.assert_array_equal(single, sharded)
