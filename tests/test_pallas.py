@@ -323,3 +323,22 @@ def test_with_stats_bit_identical_and_counts():
     assert float(st2["slot_tests"]) == sum(
         float(x) for x in st2["phase_slot_tests"])
     assert len(st2["phase_slot_tests"]) == 3
+
+
+def test_hbm_stream_with_stats():
+    """emit_stats composes with the HBM-streamed dynamic sweep: same
+    image, and the counters bound the executed work by the dense sweep
+    (slots <= C*128 per executed ray-bounce)."""
+    from raytracers_tpu.scenes import random_spheres
+    sph = random_spheres(140_000, seed=9, extent=500.0)
+    ps = build_pallas_scene(sph)
+    assert ps.sphT.shape[0] > 1024        # HBM path engaged
+    cam = camera((0., 0., 650.), (0., 0., 0.), (0., 1., 0.), 60.0, 1.0)
+    img = np.asarray(render_pallas(ps, cam, 8, 8, max_depth=2, tile=64,
+                                   block=(8, 8), interpret=True))
+    img2, st = render_pallas(ps, cam, 8, 8, max_depth=2, tile=64,
+                             block=(8, 8), interpret=True,
+                             with_stats=True)
+    np.testing.assert_array_equal(img, np.asarray(img2))
+    C = ps.n_clusters
+    assert 0 < float(st["slot_tests"]) <= float(st["ray_bounces"]) * C * 128
