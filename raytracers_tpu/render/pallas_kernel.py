@@ -432,6 +432,11 @@ def _megakernel(params_ref,               # SMEM (24,) f32
     hbm_stream = hbm_spheres and cull and CB > 1
 
     def _hbm_wait(c):
+        # The wait descriptor deliberately uses sph8_ref.at[0] (not the
+        # clamped .at[c] the paired _hbm_start used): wait() only
+        # consumes the descriptor's shape + semaphore, and index 0 is
+        # always in bounds.  Reconstructing the exact clamped index here
+        # would re-evaluate the clamp for no semantic effect.
         par = c & 1
 
         @pl.when(par == 0)
@@ -993,6 +998,25 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         out_refs[0][0, :, :] = packed
 
 
+def _count_sum(x):
+    """Exact sum of per-lane executed-work counters.
+
+    The counters are integer-valued f32 per lane (each bounded by
+    rows-per-bounce x depth, well under 2^24, so exact); a plain f32
+    tree-sum over all tiles rounds once totals pass 2^24 — at
+    scene-scale e9-e12 slot-test totals the 'exact' claim behind the
+    VPU-utilization figure would silently degrade.  Sum each tile's
+    lanes in int32 (per-tile totals < ~1e8 < 2^31), split the per-tile
+    totals 16/15 bits and sum each half in int32 (exact for any
+    realistic tile count; lo-sum overflows only past ~32k tiles), and
+    combine — the ONLY rounding is the final f32 representation
+    (relative error <= 2^-24, vs accumulated tree rounding before)."""
+    pt = jnp.sum(x.astype(jnp.int32), axis=-1)        # per-tile, exact
+    hi = jnp.sum(pt // 65536)
+    lo = jnp.sum(pt % 65536)
+    return hi.astype(jnp.float32) * 65536.0 + lo.astype(jnp.float32)
+
+
 def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
                   max_depth: int = MAX_DEPTH, tile: int = DEFAULT_TILE,
                   far_root: bool = True, interpret: bool = False,
@@ -1046,8 +1070,8 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
         img = (out.reshape(hp // bh, wp // bw, bh, bw)
                .transpose(0, 2, 1, 3).reshape(hp, wp))[:height, :width]
         if with_stats:
-            return img, dict(slot_tests=jnp.sum(stats[:, 0, :]),
-                             ray_bounces=jnp.sum(stats[:, 1, :]))
+            return img, dict(slot_tests=_count_sum(stats[:, 0, :]),
+                             ray_bounces=_count_sum(stats[:, 1, :]))
         return img
 
     R = width * height
@@ -1065,8 +1089,8 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
     if with_stats:
         out, stats = out
         return (out.reshape(-1)[:R].reshape(height, width),
-                dict(slot_tests=jnp.sum(stats[:, 0, :]),
-                     ray_bounces=jnp.sum(stats[:, 1, :])))
+                dict(slot_tests=_count_sum(stats[:, 0, :]),
+                     ray_bounces=_count_sum(stats[:, 1, :])))
     return out.reshape(-1)[:R].reshape(height, width)
 
 
@@ -1704,8 +1728,8 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
         img = unsorted[:R].reshape(height, width)
     if with_stats:
         stats = dict(
-            phase_slot_tests=[jnp.sum(s[:, 0, :]) for s in phase_stats],
-            phase_ray_bounces=[jnp.sum(s[:, 1, :]) for s in phase_stats],
+            phase_slot_tests=[_count_sum(s[:, 0, :]) for s in phase_stats],
+            phase_ray_bounces=[_count_sum(s[:, 1, :]) for s in phase_stats],
         )
         stats["slot_tests"] = sum(stats["phase_slot_tests"])
         stats["ray_bounces"] = sum(stats["phase_ray_bounces"])

@@ -15,12 +15,20 @@ def probe_tpu() -> bool:
     On failure the process is switched to the CPU platform (safe to call
     before any computation; callers should invoke this before creating
     arrays)."""
+    import sys
+
     import jax
 
     try:
         return jax.devices()[0].platform == "tpu"
-    except Exception:
+    except Exception as e:
         # RuntimeError for a held chip; plugin-specific/OS errors for a
-        # dead tunnel — degrade to CPU for any of them
+        # dead tunnel — degrade to CPU for any of them.  Loud on stderr
+        # (stdout carries the reference-identical phase lines) so a
+        # dropped tunnel can't silently record CPU timings as TPU ones;
+        # bench.py additionally records the resolved platform in
+        # bench_details.json.
+        print(f"probe_tpu: TPU unavailable ({type(e).__name__}: {e}); "
+              f"falling back to CPU", file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
         return False

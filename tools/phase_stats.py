@@ -56,8 +56,12 @@ def main():
 
         # instrumented counters (untimed)
         stats = jax.jit(lambda p: render_stats(p, H, W))(prep)
-        ps = [float(x) for x in stats["phase_slot_tests"]]
-        pb = [float(x) for x in stats["phase_ray_bounces"]]
+        # single-phase configs (shallow max_depth or a schedule covering
+        # it) return no per-phase keys — fall back to one pseudo-phase
+        ps = [float(x) for x in stats.get("phase_slot_tests",
+                                          [stats["slot_tests"]])]
+        pb = [float(x) for x in stats.get("phase_ray_bounces",
+                                          [stats["ray_bounces"]])]
         slot = float(stats["slot_tests"])
         rb = float(stats["ray_bounces"])
         # model: visit math + cull slab per executed tile-bounce
