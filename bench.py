@@ -16,6 +16,7 @@ import sys
 import time
 
 BASELINE_RAYS_PER_S = 1e6 / 14e-3   # Futhark MI100, rgbbox 1000x1000
+IRREG_BASELINE_RAYS_PER_S = 1e6 / 8e-3   # Futhark MI100, irreg 1000x1000
 
 
 def log(msg):
@@ -161,6 +162,69 @@ def main():
         log(f"{name}: bvh {bvh_s*1e3:.2f} ms, render {dt*1e3:.2f} ms "
             f"({rays/1e6:.1f} Mrays/s, compile {compile_s:.1f}s)")
 
+    # HBM-streamed scene-scale render: 1M-sphere soup (C > 1024, the
+    # double-buffered sphere-DMA path), 256x256 d5 — previously measured
+    # only ad hoc (docs/PERF_NOTES.md r2-r4: ~1.6 s); now a first-class
+    # row WITH the exact executed-work counters + device trace the other
+    # scenes get (round-4 VERDICT item 5: soup had no counters at all).
+    if on_tpu:
+        try:
+            from raytracers_tpu import camera as mk_camera
+            from raytracers_tpu.render.pallas_kernel import (
+                build_pallas_scene, render_pallas)
+            sres, sdepth = 256, 5
+            sph = scenes.random_spheres(1_000_000, seed=11, extent=400.0)
+            ps = jax.block_until_ready(jax.jit(build_pallas_scene)(sph))
+            scam = mk_camera((0., 0., 520.), (0., 0., 0.), (0., 1., 0.),
+                             60.0, 1.0)
+            skw = dict(max_depth=sdepth, tile=2048, block=(8, 256))
+            sfn = jax.jit(lambda p, c: jnp.sum(render_pallas(
+                p, c, sres, sres, **skw)))
+
+            def salted_soup_render(k, ps=ps):
+                return (ps._replace(sph8=ps.sph8 + jnp.float32(k) * 1e-30),
+                        scam)
+            jax.device_get(sfn(*salted_soup_render(-1)))
+            dt = bench_salted(sfn, salted_soup_render, warmup=1,
+                              runs=max(2, runs // 3))
+            details["soup1m_256_d5_ms"] = dt * 1e3
+            log(f"soup-1M {sres}x{sres} d{sdepth} (HBM-streamed): "
+                f"{dt*1e3:.1f} ms")
+            if "--no-trace" not in sys.argv:
+                import tempfile
+
+                from raytracers_tpu.utils.profiling import (
+                    OPS_PER_SLOT, device_kernel_ms, device_trace,
+                    vpu_ceiling_lane_ops)
+                tdir = tempfile.mkdtemp(prefix="trace_soup1m_")
+                with device_trace(tdir):
+                    jax.device_get(sfn(*salted_soup_render(999)))
+                kms = device_kernel_ms(tdir)
+                dev_ms = max(kms.values()) if kms else None
+                details["soup1m_device_render_ms"] = dev_ms
+                _, stats = render_pallas(ps, scam, sres, sres,
+                                         with_stats=True, **skw)
+                slot = float(stats["slot_tests"])
+                rb = float(stats["ray_bounces"])
+                details["soup1m_slot_tests"] = slot
+                details["soup1m_slot_tests_per_ray_bounce"] = (
+                    slot / max(1.0, rb))
+                if dev_ms:
+                    mb = json.load(open(os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "MICROBENCH.json")))
+                    util = (slot * OPS_PER_SLOT) / (
+                        vpu_ceiling_lane_ops(mb) * dev_ms / 1e3)
+                    details["soup1m_vpu_issue_util"] = round(util, 3)
+                    details["soup1m_gslot_tests_per_s"] = round(
+                        slot / (dev_ms / 1e3) / 1e9, 2)
+                    log(f"soup-1M: device {dev_ms:.1f} ms, "
+                        f"{slot/1e9:.2f}e9 slot-tests "
+                        f"({slot/max(1.0, rb):.0f}/ray-bounce), "
+                        f"{util*100:.0f}% of VPU issue ceiling")
+        except Exception as e:  # pragma: no cover
+            log(f"soup-1M bench failed: {type(e).__name__}: {e}")
+
     # LBVH construction at 1M spheres (BASELINE.json configs[3]).
     # leaf=128 is the renderer's production layout; leaf=8 (the deep-tree
     # config, 125k leaves) reported alongside.
@@ -290,6 +354,11 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
     }
+    if "irreg" in results:
+        # irreg is the worst ratio vs the reference's GPU row (8 ms on
+        # the MI100, README.md:50) — surface it beside the headline
+        out["irreg_vs_baseline"] = round(
+            results["irreg"] / IRREG_BASELINE_RAYS_PER_S, 3)
     with open(os.path.join(os.path.dirname(__file__) or ".",
                            "bench_details.json"), "w") as f:
         json.dump(details, f, indent=2)

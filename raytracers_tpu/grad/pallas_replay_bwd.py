@@ -238,8 +238,12 @@ def _replay_bwd_kernel(params_ref, rec_ref, pay_ref, gcot_ref, *refs,
     # tile (compaction packs dead rays into a contiguous suffix) skips
     # both passes entirely and must still emit zero cotangents
     if reduce_clusters:
-        cot_ref[0, :, :] = jnp.zeros((reduce_clusters * 24, 128),
-                                     jnp.float32)
+        # the slot table ACCUMULATES across the sequential grid (constant
+        # output index_map): zero it only on the first tile
+        @pl.when(pl.program_id(0) == 0)
+        def _zero_tab():
+            cot_ref[0, :, :] = jnp.zeros((reduce_clusters * 24, 128),
+                                         jnp.float32)
     elif state_in:
         cot_ref[0, :, :, :] = jnp.zeros((D, 8, T), jnp.float32)
     if state_in:
@@ -400,17 +404,28 @@ def _replay_bwd_kernel(params_ref, rec_ref, pay_ref, gcot_ref, *refs,
             # fell back to the XLA (Rp, C*128) one-hot segment-sum
             # before — measured 547 ms fwd+bwd vs ~90 here).  Each slot
             # row belongs to exactly one chunk, so chunked accumulation
-            # is bit-identical to the single big dot.
+            # is bit-identical to the single big dot.  Chunks with no
+            # winner lane this step are SKIPPED (same gated-run pattern
+            # as the forward's dynamic sweep): a tile-step's winners hit
+            # few distinct clusters, so at irreg's C=79 most of the 10
+            # chunk stacks+dots would reduce exact zeros — the ungated
+            # version measured ~47 ms of replay kernels vs rgbbox's ~6
+            # (tools/fwdbwd_breakdown.py --scene irreg --trace).
+            chunk_of = jax.lax.shift_right_arithmetic(cidx, 3)  # (1, T)
             for c0 in range(0, C, 8):
                 cc = min(8, C - c0)
-                chunk = jnp.concatenate(
-                    [split24 * (cidx == c).astype(jnp.bfloat16)
-                     for c in range(c0, c0 + cc)], axis=0)     # (cc*24, T)
-                acc = jax.lax.dot_general(
-                    chunk, lane_oh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)        # (cc*24,128)
-                cot_ref[0, c0 * 24:(c0 + cc) * 24, :] = (
-                    cot_ref[0, c0 * 24:(c0 + cc) * 24, :] + acc)
+                hit = jnp.sum((chunk_of == (c0 // 8)).astype(jnp.float32))
+
+                @pl.when(hit > 0.0)
+                def _chunk(c0=c0, cc=cc):
+                    chunk = jnp.concatenate(
+                        [split24 * (cidx == c).astype(jnp.bfloat16)
+                         for c in range(c0, c0 + cc)], axis=0)  # (cc*24, T)
+                    acc = jax.lax.dot_general(
+                        chunk, lane_oh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)     # (cc*24,128)
+                    cot_ref[0, c0 * 24:(c0 + cc) * 24, :] = (
+                        cot_ref[0, c0 * 24:(c0 + cc) * 24, :] + acc)
         else:
             for row, val in enumerate((ccx, ccy, ccz, crad,
                                        ccolr, ccolg, ccolb, zero)):
@@ -496,12 +511,13 @@ def replay_bwd_pallas(params, rec_raw, pay, gcot_rows, *,
     per-bounce (num_tiles, D, 8, T) — rows d/d(cx cy cz rad cr cg cb) —
     by default; with ``reduce_clusters=C`` the kernel instead
     segment-sums cotangents onto slots as it sweeps (exact 3-term bf16
-    one-hot MXU dots entirely in VMEM) and cotsph is the per-tile slot
-    table (num_tiles, C*24, 128): 24 rows per cluster = the bf16
-    hi/mid/lo planes of the 8 fields, 128 lanes = sphere-in-cluster.
-    Sum over tiles and the 3 planes to get the (S, 8) slot table — this
-    removes the dominant HBM traffic of the whole backward (the
-    (rays, slots) one-hot never materialises).
+    one-hot MXU dots entirely in VMEM; chunks with no winner lane are
+    gated off — exact-zero contributions) and cotsph is ONE slot table
+    (1, C*24, 128) accumulated across the sequential grid: 24 rows per
+    cluster = the bf16 hi/mid/lo planes of the 8 fields, 128 lanes =
+    sphere-in-cluster.  Sum the 3 planes to get the (S, 8) slot table —
+    neither the (rays, slots) one-hot nor the per-tile tables ever
+    touch HBM.
     With ``emit_fwd=True`` the last output (num_tiles, 8, T) carries the
     pass-1 replayed colours in rows 0..2 — they must BIT-MATCH the
     forward megakernel's image (tests/test_pallas_diff.py), proving the
@@ -517,9 +533,13 @@ def replay_bwd_pallas(params, rec_raw, pay, gcot_rows, *,
                                block_tiled=block_tiled,
                                state_in=state_rows is not None)
     if reduce_clusters:
+        # constant index_map: ONE (C*24, 128) table accumulated across
+        # the sequential grid — the per-tile tables never round-trip
+        # through HBM (at irreg's C=79 the per-tile output array was
+        # (nt, 1896, 128) f32 ≈ 475 MB of write+read per segment)
         C = reduce_clusters
-        out_specs = [vm((1, C * 24, 128), lambda i: (i, 0, 0))]
-        out_shape = [jax.ShapeDtypeStruct((num_tiles, C * 24, 128),
+        out_specs = [vm((1, C * 24, 128), lambda i: (0, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((1, C * 24, 128),
                                           jnp.float32)]
     else:
         out_specs = [vm((1, D, 8, T), lambda i: (i, 0, 0, 0))]

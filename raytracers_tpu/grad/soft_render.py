@@ -66,12 +66,19 @@ def soft_render(spheres: Spheres, origins, dirs, sigma: float = 3e-2,
     logits = -t_safe / (gamma * scale)
     w = vis * front * jnp.exp(logits - jax.lax.stop_gradient(
         jnp.max(logits, axis=1, keepdims=True)))
-    w_bg = jnp.exp(jnp.min(logits, axis=1, keepdims=True)
-                   - jax.lax.stop_gradient(
-                       jnp.max(logits, axis=1, keepdims=True))) * 0.5
-    # epsilon: for a far background ray every weight (incl. w_bg) can
-    # underflow to exactly 0 in f32; 0/0 would NaN the whole optimisation
-    denom = jnp.sum(w, axis=1, keepdims=True) + w_bg + 1e-20
+    # background weight = transparency: the product of (1 - vis) over all
+    # spheres (SoftRas-style).  The earlier depth-based form
+    # exp(min(logits) - max(logits)) underflows to exact 0 whenever the
+    # scene's depth SPREAD exceeds ~87 temperatures (rgbbox: t in
+    # ~30-90 at temperature 0.62) — sky pixels went black and the
+    # 1e-20 denominator's square underflowed f32 to 0, NaN-ing the
+    # whole VJP.  Transparency is scale-free: miss rays (all vis ~ 0)
+    # get w_bg ~ 1 -> sky; solid hits get w_bg ~ 0.  As sigma -> 0 it
+    # converges to the same hard visibility.
+    w_bg = jnp.prod(1.0 - vis * front, axis=1, keepdims=True)
+    # epsilon: guards 0/0 for degenerate all-zero weights; 1e-12 (not
+    # 1e-20) so denom**2 in the quotient-rule VJP stays normal in f32
+    denom = jnp.sum(w, axis=1, keepdims=True) + w_bg + 1e-12
     sky = sky_colour(dirs)                      # (R, 3)
     colours = (w[..., None] * spheres.color[None, :, :]).sum(axis=1)
     return (colours + w_bg * sky) / denom
