@@ -257,30 +257,26 @@ def main():
         sc = scenes.by_name("rgbbox")
         if on_tpu:
             from raytracers_tpu.grad.pallas_diff import make_render_pallas_diff
-            # measured-best fwd+bwd config on v5e: fused Pallas
-            # backward, 2048-ray (64, 32) block tiles, survivor
-            # compaction at the forward's (3, 4, 8) schedule with
-            # prefix-bounded boundary sorts.  Round-4 same-session
-            # sweep: 74.2/74.5 ms vs 75.4/75.6 at the old
-            # (4,8)/(32,64) — prefix sorts made the third boundary's
-            # backward cost (gflat gather + carry sort) smaller than
-            # the forward bounce work it sheds.
-            f = make_render_pallas_diff(W, H, max_depth=50, tile=2048,
-                                        block=(64, 32), schedule=(3, 4, 8),
-                                        sort_prefix=(None, 0.5, 0.25))
+            from raytracers_tpu.render.api import pallas_diff_config
 
-            def loss(sph, cam):
-                img = f(sph, cam)
-                return jnp.sum(img * img)
-
-            gfn = jax.jit(jax.value_and_grad(loss))
-
-            # the reference's harnesses bench both scenes; record irreg's
-            # fwd+bwd beside rgbbox's (same engine config)
+            # the reference's harnesses bench both scenes; each gets its
+            # measured-best fwd+bwd engine config (round 5: irreg ran at
+            # rgbbox's config before — its own class measured faster)
             for gname in ["rgbbox", "irreg"]:
                 gsc = scenes.by_name(gname)
                 gcam = mk_camera(gsc.look_from, gsc.look_at, (0., 1., 0.),
                                  gsc.fov, W / H)
+                tile_d, blk_d, sched_d, pref_d = pallas_diff_config(
+                    -(-gsc.spheres.center.shape[0] // 128))
+                f = make_render_pallas_diff(W, H, max_depth=50, tile=tile_d,
+                                            block=blk_d, schedule=sched_d,
+                                            sort_prefix=pref_d)
+
+                def loss(sph, cam, f=f):
+                    img = f(sph, cam)
+                    return jnp.sum(img * img)
+
+                gfn = jax.jit(jax.value_and_grad(loss))
 
                 def salted_sph(k, gsc=gsc, gcam=gcam):
                     return (gsc.spheres._replace(

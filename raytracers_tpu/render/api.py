@@ -87,6 +87,22 @@ def pallas_config(C: int):
     return 2048, (32, 64), (3, 6), (None, 0.25)
 
 
+def pallas_diff_config(C: int):
+    """Measured-best FWD+BWD engine config by scene class:
+    (tile, block, schedule, sort_prefix) for
+    grad.pallas_diff.make_render_pallas_diff.  Differs from the render
+    configs (pallas_config): each boundary costs the BACKWARD a gflat
+    gather + a carry sort, so fwd+bwd optima prefer fewer boundaries
+    than the forward-only optima (docs/PERF_NOTES.md round-3/5 sweeps).
+    Round 5: irreg gets its own class — the round-4 bench ran irreg's
+    fwd+bwd at rgbbox's config; the native (3, 6)/(32, 64) forward
+    config measured faster end-to-end once the backward's chunked slot
+    reduction was gated (same-session table in PERF_NOTES round 5)."""
+    if C <= 16:
+        return 2048, (64, 32), (3, 4, 8), (None, 0.5, 0.25)
+    return 2048, (32, 64), (3, 6), (None, 0.25)
+
+
 def render(prepared: PreparedScene, height: int, width: int,
            mode: str = "bvh", max_depth: int = MAX_DEPTH,
            chunk: int | None = None, interpret: bool = False,

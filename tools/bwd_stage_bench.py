@@ -84,15 +84,30 @@ def main():
         state_s = None if k == 0 else aux["states16"][k - 1]
         bt = (k == 0)
 
-        def seg_fn(g, rec_s=rec_s, pay_s=pay_s, state_s=state_s, bt=bt,
-                   D_s=depths[k]):
-            out = replay_bwd_pallas(params, rec_s, pay_s, g, tile=tile,
-                                    max_depth=D_s, reduce_clusters=reduce_c,
-                                    block_tiled=bt, state_rows=state_s)
-            return sum(jnp.sum(o[:, :, ::37]) for o in out)
+        # residuals ride as jit ARGUMENTS: closed-over device arrays
+        # embed as HLO constants, and the deep segment's pay (1.2 GB)
+        # overflows the remote-compile request (HTTP 413)
+        if state_s is None:
+            def seg_fn(g, rec_s, pay_s, bt=bt, D_s=depths[k]):
+                out = replay_bwd_pallas(params, rec_s, pay_s, g, tile=tile,
+                                        max_depth=D_s,
+                                        reduce_clusters=reduce_c,
+                                        block_tiled=bt, state_rows=None)
+                return sum(jnp.sum(o[:, :, ::37]) for o in out)
 
-        def salt(i):
-            return (gcot + jnp.float32(i) * 1e-30,)
+            def salt(i, rec_s=rec_s, pay_s=pay_s):
+                return (gcot + jnp.float32(i) * 1e-30, rec_s, pay_s)
+        else:
+            def seg_fn(g, rec_s, pay_s, state_s, bt=bt, D_s=depths[k]):
+                out = replay_bwd_pallas(params, rec_s, pay_s, g, tile=tile,
+                                        max_depth=D_s,
+                                        reduce_clusters=reduce_c,
+                                        block_tiled=bt, state_rows=state_s)
+                return sum(jnp.sum(o[:, :, ::37]) for o in out)
+
+            def salt(i, rec_s=rec_s, pay_s=pay_s, state_s=state_s):
+                return (gcot + jnp.float32(i) * 1e-30, rec_s, pay_s,
+                        state_s)
 
         dt = bench_salted(jax.jit(seg_fn), salt, warmup=1, runs=args.runs)
         total += dt * 1e3
@@ -108,7 +123,8 @@ def main():
         B = (None if (f is None or f >= 1.0)
              else max(tile, int(Rp * f) // tile * tile))
 
-        def sort_fn(p0, B=B, rows=rows):
+        def sort_fn(p0, *rows, B=B):
+            rows = list(rows)
             if B is not None and 0 < B < Rp:
                 out = jax.lax.sort([p0[:B]] + [r[:B] for r in rows],
                                    dimension=0, num_keys=1)
@@ -116,22 +132,23 @@ def main():
                 out = jax.lax.sort([p0] + rows, dimension=0, num_keys=1)
             return sum(jnp.sum(o[::37]) for o in out[1:])
 
-        def salt(i, pos=pos):
-            return (pos ^ (i & 0),)   # value-identical (x ^ 0)
+        def salt(i, pos=pos, rows=rows):
+            return (pos ^ (i & 0), *rows)   # value-identical (x ^ 0)
 
         dt = bench_salted(jax.jit(sort_fn), salt, warmup=1, runs=args.runs)
         total += dt * 1e3
         print(f"  carry sort boundary {j} (B={B}): {dt*1e3:.2f} ms",
               flush=True)
 
-        def gath_fn(g3, pos=pos, B=B):
+        def gath_fn(g3, pos, B=B):
             if B is not None and 0 < B < Rp:
                 head = jnp.take(g3, pos[:B], axis=0)
                 return jnp.sum(head[::37])
             return jnp.sum(jnp.take(g3, pos, axis=0)[::37])
 
-        def salt2(i):
-            return (jnp.ones((Rp, 3), jnp.float32) + jnp.float32(i) * 1e-30,)
+        def salt2(i, pos=pos):
+            return (jnp.ones((Rp, 3), jnp.float32) + jnp.float32(i) * 1e-30,
+                    pos)
 
         dt = bench_salted(jax.jit(gath_fn), salt2, warmup=1, runs=args.runs)
         total += dt * 1e3
