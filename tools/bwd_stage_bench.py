@@ -155,8 +155,91 @@ def main():
         print(f"  gflat gather boundary {j} (B={B}): {dt*1e3:.2f} ms",
               flush=True)
 
+    # ---- XLA glue stages (the previously-unaccounted remainder) ------
+    import numpy as np
+    g_img = jnp.ones((H, W, 3), jnp.float32)
+
+    def gflat_fn(g):
+        wp2 = -(-W // bw) * bw
+        hp2 = -(-H // bh) * bh
+        gpad = jnp.pad(g, ((0, hp2 - H), (0, wp2 - W), (0, 0)))
+        out = (gpad.reshape(hp2 // bh, bh, wp2 // bw, bw, 3)
+               .transpose(0, 2, 1, 3, 4).reshape(Rp, 3))
+        return jnp.sum(out[::37])
+
+    dt = bench_salted(jax.jit(gflat_fn),
+                      lambda i: (g_img + jnp.float32(i) * 1e-30,),
+                      warmup=1, runs=args.runs)
+    total += dt * 1e3
+    print(f"  gflat build (image -> tile order): {dt*1e3:.2f} ms",
+          flush=True)
+
+    def rows16_fn(a3, c9):
+        rows = [a3.T.reshape(3, nt, tile).transpose(1, 0, 2),
+                c9.reshape(9, nt, tile).transpose(1, 0, 2),
+                jnp.zeros((nt, 4, tile), jnp.float32)]
+        out = jnp.concatenate(rows, axis=1)
+        return jnp.sum(out[:, :, ::37])
+
+    dt = bench_salted(
+        jax.jit(rows16_fn),
+        lambda i: (jnp.ones((Rp, 3), jnp.float32) + jnp.float32(i) * 1e-30,
+                   jnp.ones((9, Rp), jnp.float32)),
+        warmup=1, runs=args.runs)
+    total += dt * 1e3
+    print(f"  _rows16 assemble (per segment): {dt*1e3:.2f} ms", flush=True)
+
+    # carry extract: (nt,16,T) kernel output -> 9 flat rows
+    def carr_fn(c16):
+        rows = [c16[:, r, :].reshape(Rp) for r in range(9)]
+        return sum(jnp.sum(r[::37]) for r in rows)
+
+    dt = bench_salted(
+        jax.jit(carr_fn),
+        lambda i: (jnp.ones((nt, 16, tile), jnp.float32)
+                   + jnp.float32(i) * 1e-30,),
+        warmup=1, runs=args.runs)
+    total += dt * 1e3
+    print(f"  carry row extract (per boundary): {dt*1e3:.2f} ms",
+          flush=True)
+
+    if reduce_c:
+        def tab_fn(tbl):
+            t = tbl.sum(axis=0).reshape(C, 3, 8, 128).sum(axis=1)
+            tab_slot = t.transpose(0, 2, 1).reshape(S, 8)[:, :7]
+            n_s = S
+            tgt = jnp.arange(S) % (n_s + 1)
+            tab = jnp.zeros((n_s + 1, 7), jnp.float32).at[tgt].add(tab_slot)
+            return jnp.sum(tab[::13])
+
+        dt = bench_salted(
+            jax.jit(tab_fn),
+            lambda i: (jnp.ones((1, C * 24, 128), jnp.float32)
+                       + jnp.float32(i) * 1e-30,),
+            warmup=1, runs=args.runs)
+        total += dt * 1e3
+        print(f"  slot-table reduce + scatter: {dt*1e3:.2f} ms", flush=True)
+
+    def unscr_fn(c16):
+        hp2 = -(-H // bh) * bh
+        wp2 = -(-W // bw) * bw
+        rays6 = (c16[:, 0:6, :].transpose(1, 0, 2)
+                 .reshape(6, hp2 // bh, wp2 // bw, bh, bw)
+                 .transpose(0, 1, 3, 2, 4).reshape(6, hp2, wp2)
+                 [:, :H, :W].reshape(6, H * W))
+        return jnp.sum(rays6[:, ::37])
+
+    dt = bench_salted(
+        jax.jit(unscr_fn),
+        lambda i: (jnp.ones((nt, 16, tile), jnp.float32)
+                   + jnp.float32(i) * 1e-30,),
+        warmup=1, runs=args.runs)
+    total += dt * 1e3
+    print(f"  cotray unscramble (once): {dt*1e3:.2f} ms", flush=True)
+
     print(f"sum of isolated backward stages: {total:.1f} ms "
-          f"(excludes XLA glue/overlap)", flush=True)
+          f"(each row includes the ~6-9 ms dispatch floor; subtract it "
+          f"per row for in-graph cost)", flush=True)
 
 
 if __name__ == "__main__":
