@@ -128,12 +128,15 @@ def main():
                 from raytracers_tpu.render.api import render_stats
                 stats = jax.jit(lambda p: render_stats(p, H, W))(prep)
                 slot = float(stats["slot_tests"])
+                crows = float(stats.get("cull_rows", 0.0))
                 details[f"{name}_slot_tests"] = slot
+                details[f"{name}_cull_rows"] = crows
                 details[f"{name}_slot_tests_per_ray_bounce"] = (
                     slot / max(1.0, float(stats["ray_bounces"])))
                 if dev_ms:
                     from raytracers_tpu.utils.profiling import (
-                        OPS_PER_SLOT, vpu_ceiling_lane_ops)
+                        CULL_OPS_PER_ROW, OPS_PER_SLOT,
+                        vpu_ceiling_lane_ops)
                     mb = json.load(open(os.path.join(
                         os.path.dirname(os.path.abspath(__file__)),
                         "docs", "MICROBENCH.json")))
@@ -145,7 +148,15 @@ def main():
                     # fatter tiles / coarser gates pay.
                     util = (slot * OPS_PER_SLOT) / (ceil_ops * dev_ms
                                                     / 1e3)
+                    # visit-only utilization (the historical figure) AND
+                    # visit+cull (exact cull-row counters, round 5):
+                    # scene-scale classes spend a third of their time in
+                    # slab culls, which the visit-only figure ignores
+                    uic = ((slot * OPS_PER_SLOT + crows * CULL_OPS_PER_ROW)
+                           / (ceil_ops * dev_ms / 1e3))
                     details[f"{name}_vpu_issue_util"] = round(util, 3)
+                    details[f"{name}_vpu_issue_util_incl_cull"] = round(
+                        uic, 3)
                     details[f"{name}_gslot_tests_per_s"] = round(
                         slot / (dev_ms / 1e3) / 1e9, 2)
                     log(f"{name}: device {dev_ms:.2f} ms, "
@@ -153,7 +164,8 @@ def main():
                         f"({details[f'{name}_slot_tests_per_ray_bounce']:.0f}"
                         f"/ray-bounce, "
                         f"{details[f'{name}_gslot_tests_per_s']:.1f}e9/s), "
-                        f"{util*100:.0f}% of VPU issue ceiling")
+                        f"{util*100:.0f}% of VPU issue ceiling "
+                        f"({uic*100:.0f}% incl {crows/1e9:.2f}e9 cull rows)")
             except Exception as e:  # pragma: no cover
                 log(f"{name}: stats run failed: {type(e).__name__}: {e}")
         details[f"{name}_bvh_ms"] = bvh_s * 1e3
@@ -206,22 +218,31 @@ def main():
                                          with_stats=True, **skw)
                 slot = float(stats["slot_tests"])
                 rb = float(stats["ray_bounces"])
+                crows = float(stats.get("cull_rows", 0.0))
                 details["soup1m_slot_tests"] = slot
+                details["soup1m_cull_rows"] = crows
                 details["soup1m_slot_tests_per_ray_bounce"] = (
                     slot / max(1.0, rb))
                 if dev_ms:
+                    from raytracers_tpu.utils.profiling import (
+                        CULL_OPS_PER_ROW)
                     mb = json.load(open(os.path.join(
                         os.path.dirname(os.path.abspath(__file__)),
                         "docs", "MICROBENCH.json")))
-                    util = (slot * OPS_PER_SLOT) / (
-                        vpu_ceiling_lane_ops(mb) * dev_ms / 1e3)
+                    ceil_ops = vpu_ceiling_lane_ops(mb)
+                    util = (slot * OPS_PER_SLOT) / (ceil_ops * dev_ms / 1e3)
+                    uic = ((slot * OPS_PER_SLOT + crows * CULL_OPS_PER_ROW)
+                           / (ceil_ops * dev_ms / 1e3))
                     details["soup1m_vpu_issue_util"] = round(util, 3)
+                    details["soup1m_vpu_issue_util_incl_cull"] = round(
+                        uic, 3)
                     details["soup1m_gslot_tests_per_s"] = round(
                         slot / (dev_ms / 1e3) / 1e9, 2)
                     log(f"soup-1M: device {dev_ms:.1f} ms, "
                         f"{slot/1e9:.2f}e9 slot-tests "
                         f"({slot/max(1.0, rb):.0f}/ray-bounce), "
-                        f"{util*100:.0f}% of VPU issue ceiling")
+                        f"{util*100:.0f}% of VPU issue ceiling "
+                        f"({uic*100:.0f}% incl {crows/1e9:.2f}e9 cull rows)")
         except Exception as e:  # pragma: no cover
             log(f"soup-1M bench failed: {type(e).__name__}: {e}")
 

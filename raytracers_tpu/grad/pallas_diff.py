@@ -59,7 +59,8 @@ def make_render_pallas_diff(width: int, height: int,
                             block: tuple | None = None,
                             phase1_depth: int | None = None,
                             schedule: tuple | None = None,
-                            sort_prefix: tuple | None = None):
+                            sort_prefix: tuple | None = None,
+                            cluster_width: int | None = None):
     """Build a differentiable ``f(spheres, cam) -> colours (h, w, 3)``
     whose forward pass is the Pallas megakernel.
 
@@ -105,7 +106,8 @@ def make_render_pallas_diff(width: int, height: int,
             schedule = (phase1_depth,)
         return _make_render_pallas_diff_kernel(width, height, max_depth,
                                                tile, interpret, block,
-                                               schedule, sort_prefix)
+                                               schedule, sort_prefix,
+                                               cluster_width)
 
     @jax.custom_vjp
     def render_diff(spheres: Spheres, cam: Camera):
@@ -216,7 +218,8 @@ def make_render_pallas_diff(width: int, height: int,
 
 def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
                                     interpret, block=None,
-                                    schedule=None, sort_prefix=None):
+                                    schedule=None, sort_prefix=None,
+                                    cluster_width=None):
     """backward="pallas": fused TPU backward replay.
 
     Forward: megakernel record_pay mode (colours + per-bounce winner
@@ -284,13 +287,14 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
         segment and reduce all slot cotangents to tab_slot (S, 7).
         Returns (tab_slot, [cotray per segment])."""
         cotrays = []
-        if C <= 128:
+        if C <= 256:
             # in-kernel slot reduction (the (rays, slots) one-hot never
             # leaves VMEM), chunked by 8 clusters so the masked stack
-            # stays small at any C <= 128 (irreg C=79: the XLA one-hot
-            # fallback measured 547 ms fwd+bwd; in-kernel ~90).  Scenes
-            # beyond the (C*24, 128) f32 table budget (C > 128) fall
-            # back to the batched XLA segment-sum
+            # stays small (irreg C=79: the XLA one-hot fallback measured
+            # 547 ms fwd+bwd; in-kernel ~90).  The grid-accumulated
+            # (C*24, 128) table is ~7.5 KB/cluster of VMEM, so the
+            # in-kernel path now covers C <= 256 (leaf-64 irreg: C=157);
+            # beyond that fall back to the batched XLA segment-sum
             acc = None
             for rec_s, pay_s, gcot_s, state_s, bt, D_s in segs:
                 tblred, cotray = replay_bwd_pallas(
@@ -336,7 +340,7 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
 
     @jax.custom_vjp
     def render_diff(spheres: Spheres, cam: Camera):
-        scene = build_pallas_scene(spheres)
+        scene = build_pallas_scene(spheres, cluster_width=cluster_width)
         if schedule:
             colours, _ = render_pallas_record_twophase(
                 scene, cam, width, height, max_depth=max_depth,
@@ -350,7 +354,7 @@ def _make_render_pallas_diff_kernel(width, height, max_depth, tile,
         return colours
 
     def fwd(spheres, cam):
-        scene = build_pallas_scene(spheres)
+        scene = build_pallas_scene(spheres, cluster_width=cluster_width)
         if schedule:
             colours, aux = render_pallas_record_twophase(
                 scene, cam, width, height, max_depth=max_depth,

@@ -120,7 +120,8 @@ class PallasScene(NamedTuple):
 
 def build_pallas_scene(sph: Spheres,
                        sort_origin=None,
-                       cull_rows: int | None = None) -> PallasScene:
+                       cull_rows: int | None = None,
+                       cluster_width: int | None = None) -> PallasScene:
     """Morton-sort + cluster the scene into the packed kernel layout.
 
     ``sort_origin`` (optional (3,) point, normally the camera origin)
@@ -146,7 +147,20 @@ def build_pallas_scene(sph: Spheres,
     per FLAGGED block only, so fewer irrelevant rows ride each cull, at
     the cost of more scalar block gates.  Semantics identical (culling
     is conservative at any grouping).
+
+    ``cluster_width`` (default 128) sets the sphere rows per cluster
+    (leaf size): the visit sweep then tests (W, T) rows per flagged
+    cluster.  Narrower clusters halve the slots tested per visit but
+    roughly double the cluster count (more cull rows + scalar gates) —
+    the round-4 simulation sized leaf-64 at ~15% ceiling for irreg
+    (tools/sim_leaf_size.py); this knob makes the end-to-end A/B
+    runnable (round-4 VERDICT item 4).  Winner slots are still encoded
+    as cluster*128 + lane (the ``order`` table pads each cluster's
+    rows to 128 with -1), so the record/replay gradient path is
+    width-agnostic.
     """
+    W = cluster_width or LANE
+    assert W in (32, 64, LANE), W
     n = sph.center.shape[0]
     if n <= LANE:
         # single cluster: no hierarchy to build; pad to the lane width
@@ -180,7 +194,7 @@ def build_pallas_scene(sph: Spheres,
         # clusters-only build: the megakernel never reads the Karras
         # tree, so skip it (rgbbox build 2.0 -> sub-ms; the tree's
         # dynamic-trip-count refit/skip sweeps were the entire cost)
-        bvh = build_clusters(sph, leaf_size=LANE)
+        bvh = build_clusters(sph, leaf_size=W)
     C = bvh.n_leaves
     s = bvh.spheres
 
@@ -195,7 +209,7 @@ def build_pallas_scene(sph: Spheres,
           else max(8, min(LANE, cull_rows or 64) // 8 * 8))
 
     leaf_min, leaf_max = bvh.leaf_min, bvh.leaf_max
-    order2d = bvh.order.reshape(C, LANE)
+    order2d = bvh.order.reshape(C, W)
     perm = None
     if sort_origin is not None and C > 16:
         o = jnp.asarray(sort_origin, jnp.float32)
@@ -224,7 +238,7 @@ def build_pallas_scene(sph: Spheres,
         order2d = order2d[perm]
 
     def field(x):
-        x = x.reshape(C, LANE)
+        x = x.reshape(C, W)
         return x if perm is None else x[perm]
 
     sph8 = jnp.stack([
@@ -269,12 +283,18 @@ def build_pallas_scene(sph: Spheres,
     # Tail-cluster peel tables: only when the partial cluster is still
     # LAST (the C > 16 front-to-back sort moves it) — round its real-row
     # count up to a power-of-two sublane multiple for the min slice-tree.
-    n_tail = n - (C - 1) * LANE
-    P = LANE
-    if perm is None and n_tail < LANE:
+    n_tail = n - (C - 1) * W
+    P = W
+    if perm is None and n_tail < W:
         P = 8
         while P < n_tail:
             P *= 2
+    if W < LANE:
+        # winner slots stay encoded cluster*128 + lane for ANY width:
+        # pad each cluster's order rows to 128 with -1 so the gradient
+        # path's slot -> original-sphere mapping is width-agnostic
+        order2d = jnp.pad(order2d, ((0, 0), (0, LANE - W)),
+                          constant_values=-1)
     return PallasScene(sphT=sphT, sph8=sph8, aabbT=aabbT, superT=superT,
                        order=order2d,
                        tailT=sphT[C - 1, :P, :], tail8=sph8[C - 1, :, :P])
@@ -611,8 +631,11 @@ def _megakernel(params_ref,               # SMEM (24,) f32
                         blkT = jnp.swapaxes(bufA_ref[:, :], 0, 1)
                         blk8 = bufA_ref[:, :]
                     else:
-                        blkT = sphT_ref[pl.ds(c, 1), :, :].reshape(LANE, 8)
-                        blk8 = sph8_ref[pl.ds(c, 1), :, :].reshape(8, LANE)
+                        # cluster width from the table shape (leaf-64
+                        # scenes: (C, W, 8) with W < 128)
+                        Wc = sphT_ref.shape[1]
+                        blkT = sphT_ref[pl.ds(c, 1), :, :].reshape(Wc, 8)
+                        blk8 = sph8_ref[pl.ds(c, 1), :, :].reshape(8, Wc)
                     P = blkT.shape[0]
                     lanes = (lane_col if P == LANE else
                              jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0))
@@ -815,15 +838,34 @@ def _megakernel(params_ref,               # SMEM (24,) f32
             return jax.lax.fori_loop(0, CB, block_body, init)
 
         if NG == 1:
-            return group_sweep(0)
-        parts = [group_sweep(lg) for lg in range(NG)]
-        out = tuple(jnp.concatenate([p[k] for p in parts], axis=1)
-                    for k in range(len(parts[0])))
+            out = group_sweep(0)
+        else:
+            parts = [group_sweep(lg) for lg in range(NG)]
+            out = tuple(jnp.concatenate([p[k] for p in parts], axis=1)
+                        for k in range(len(parts[0])))
+        if emit_stats:
+            # exact CULL rows executed this bounce (per lane): the slab
+            # test runs on (CR, T) rows per executed cull block — gated
+            # by the super-AABB flags in two-level mode — plus the SBR
+            # super rows themselves.  Separating cull work from visit
+            # work turns the plane-class roofline split (visits vs cull
+            # vs residual) from a modelled upper bound into a counter
+            # (round-4 VERDICT item 5).
+            if not cull:
+                crows = jnp.float32(0.0)
+            elif two_level:
+                crows = jnp.float32(super_ref.shape[1]) + jnp.float32(
+                    CR) * sum(
+                    (hits2_ref[cb, 0] > 0.0).astype(jnp.float32)
+                    for cb in range(CB))
+            else:
+                crows = jnp.float32(CR)
+            out = out + (crows,)
         return out
 
     def bounce_body(state):
         if emit_stats:
-            scnt, state = state[-1], state[:-1]
+            scnt, ccnt, state = state[-2], state[-1], state[:-2]
         (depth, n_active, ox, oy, oz, dx, dy, dz,
          lr, lg, lb, rr, rg, rb, active) = state
         ch = closest_hit(ox, oy, oz, dx, dy, dz, active)
@@ -937,7 +979,7 @@ def _megakernel(params_ref,               # SMEM (24,) f32
         out = (depth + 1, n_active, ox, oy, oz, dx, dy, dz,
                lr, lg, lb, rr, rg, rb, active)
         if emit_stats:
-            out = out + (scnt + ch[-1],)
+            out = out + (scnt + ch[-2], ccnt + ch[-1])
         return out
 
     def bounce_cond(state):
@@ -951,7 +993,7 @@ def _megakernel(params_ref,               # SMEM (24,) f32
     state = (jnp.int32(0), jnp.sum(active0), ox, oy, oz, dx, dy, dz,
              lr0, lg0, lb0, rr0, rg0, rb0, active0)
     if emit_stats:
-        state = state + (jnp.zeros((1, T), jnp.float32),)
+        state = state + (jnp.zeros((1, T), jnp.float32), jnp.float32(0.0))
     state = jax.lax.while_loop(bounce_cond, bounce_body, state)
     if record_pay:
         # ones (not zeros) for the rows the bounce loop did not reach:
@@ -973,14 +1015,16 @@ def _megakernel(params_ref,               # SMEM (24,) f32
             jax.lax.fori_loop(state[0], max_depth, fill, 0)
     if emit_stats:
         # row 0: per-lane sphere rows tested (Σ over this ray's executed
-        # visits); row 1: bounce sweeps this tile ran.  Exact executed
-        # work — the auditable numerator of the VPU-ceiling utilization
-        # figure (bench.py) and the per-phase visit breakdown
-        # (tools/phase_stats.py).
-        stats_ref[0, 0:1, :] = state[-1]
+        # visits); row 1: bounce sweeps this tile ran; row 2: AABB cull
+        # rows executed (per lane — every lane rides each (CR, T) slab
+        # row).  Exact executed work — the auditable numerators of the
+        # VPU-ceiling utilization figures (bench.py) and the per-phase
+        # visit/cull breakdown (tools/phase_stats.py).
+        stats_ref[0, 0:1, :] = state[-2]
         stats_ref[0, 1:2, :] = jnp.full((1, T),
                                         state[0].astype(jnp.float32))
-        state = state[:-1]
+        stats_ref[0, 2:3, :] = jnp.full((1, T), state[-1])
+        state = state[:-2]
 
     if emit_state:
         for ref, val in zip(out_refs, state[2:2 + N_STATE]):
@@ -1071,7 +1115,8 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
                .transpose(0, 2, 1, 3).reshape(hp, wp))[:height, :width]
         if with_stats:
             return img, dict(slot_tests=_count_sum(stats[:, 0, :]),
-                             ray_bounces=_count_sum(stats[:, 1, :]))
+                             ray_bounces=_count_sum(stats[:, 1, :]),
+                             cull_rows=_count_sum(stats[:, 2, :]))
         return img
 
     R = width * height
@@ -1090,7 +1135,8 @@ def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
         out, stats = out
         return (out.reshape(-1)[:R].reshape(height, width),
                 dict(slot_tests=_count_sum(stats[:, 0, :]),
-                     ray_bounces=_count_sum(stats[:, 1, :])))
+                     ray_bounces=_count_sum(stats[:, 1, :]),
+                     cull_rows=_count_sum(stats[:, 2, :])))
     return out.reshape(-1)[:R].reshape(height, width)
 
 
@@ -1379,8 +1425,8 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
                  else None)
     P = scene.tailT.shape[0]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                sph_space or vm((C, LANE, 8), lambda i: (0, 0, 0)),
-                sph_space or vm((C, 8, LANE), lambda i: (0, 0, 0)),
+                sph_space or vm(scene.sphT.shape, lambda i: (0, 0, 0)),
+                sph_space or vm(scene.sph8.shape, lambda i: (0, 0, 0)),
                 vm((CB, CR, 8), lambda i: (0, 0, 0)),
                 vm((1, SBR, 8), lambda i: (0, 0, 0)),
                 vm((P, 8), lambda i: (0, 0)),
@@ -1417,10 +1463,10 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
     if emit_stats:
         # per-tile executed-work counters (instrumented compile variant;
         # never on a timed path): [:, 0, :] sphere rows tested per lane,
-        # [:, 1, :] bounce sweeps run
-        out_specs = out_specs + [vm((1, 2, tile), lambda i: (i, 0, 0))]
+        # [:, 1, :] bounce sweeps run, [:, 2, :] cull rows executed
+        out_specs = out_specs + [vm((1, 3, tile), lambda i: (i, 0, 0))]
         out_shape = out_shape + [jax.ShapeDtypeStruct(
-            (num_tiles, 2, tile), jnp.float32)]
+            (num_tiles, 3, tile), jnp.float32)]
     if not emit_state and not emit_float and not record and not emit_stats:
         out_specs, out_shape = out_specs[0], out_shape[0]
     return pl.pallas_call(
@@ -1431,8 +1477,8 @@ def _call_megakernel(scene, params, num_tiles, tile, max_depth, far_root,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((lane_groups * CB * CR, 1), jnp.float32),
                         pltpu.VMEM((SBR, 1), jnp.float32)]
-        + ([pltpu.VMEM((8, LANE), jnp.float32),
-            pltpu.VMEM((8, LANE), jnp.float32),
+        + ([pltpu.VMEM((8, scene.sph8.shape[2]), jnp.float32),
+            pltpu.VMEM((8, scene.sph8.shape[2]), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(())]
            if hbm_spheres else []),
@@ -1730,8 +1776,10 @@ def render_pallas_twophase(scene: PallasScene, cam: Camera, width: int,
         stats = dict(
             phase_slot_tests=[_count_sum(s[:, 0, :]) for s in phase_stats],
             phase_ray_bounces=[_count_sum(s[:, 1, :]) for s in phase_stats],
+            phase_cull_rows=[_count_sum(s[:, 2, :]) for s in phase_stats],
         )
         stats["slot_tests"] = sum(stats["phase_slot_tests"])
         stats["ray_bounces"] = sum(stats["phase_ray_bounces"])
+        stats["cull_rows"] = sum(stats["phase_cull_rows"])
         return img, stats
     return img

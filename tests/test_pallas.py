@@ -311,6 +311,11 @@ def test_with_stats_bit_identical_and_counts():
     assert float(st0["slot_tests"]) == float(st0["ray_bounces"]) * 400
     # culled never exceeds dense
     assert float(st["slot_tests"]) <= float(st0["slot_tests"])
+    # exact cull-row counter: unculled sweeps run no slab rows; the
+    # culled single-block sweep runs exactly CR (= roundup(C/8)*8 = 8
+    # for rgbbox) rows per bounce sweep per lane
+    assert float(st0["cull_rows"]) == 0.0
+    assert float(st["cull_rows"]) == float(st["ray_bounces"]) * 8
 
     # twophase stats: same image, per-phase counters sum to the total
     d = np.asarray(render_pallas_twophase(ps, cam, 32, 32, max_depth=30,
@@ -342,3 +347,25 @@ def test_hbm_stream_with_stats():
     np.testing.assert_array_equal(img, np.asarray(img2))
     C = ps.n_clusters
     assert 0 < float(st["slot_tests"]) <= float(st["ray_bounces"]) * C * 128
+
+
+def test_cluster_width_64_bitexact():
+    """leaf-64 clusters (build_pallas_scene cluster_width=64) reproduce
+    the width-128 render bit-for-bit: the closest-hit winner is
+    order-independent outside key-floor tie buckets, and these scenes
+    hit none at these configs.  irreg at width 64 (C=157) additionally
+    engages the CB=3 two-level cull path."""
+    from raytracers_tpu.render.pallas_kernel import (build_pallas_scene,
+                                                     render_pallas)
+    for name, res, depth in [("rgbbox", 24, 4), ("irreg", 32, 6)]:
+        sc = scenes.by_name(name)
+        cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
+        ps128 = build_pallas_scene(sc.spheres)
+        ps64 = build_pallas_scene(sc.spheres, cluster_width=64)
+        assert ps64.sphT.shape[1] == 64
+        assert ps64.order.shape[1] == 128          # slot encoding padded
+        a = np.asarray(render_pallas(ps128, cam, res, res, max_depth=depth,
+                                     tile=256, interpret=True))
+        b = np.asarray(render_pallas(ps64, cam, res, res, max_depth=depth,
+                                     tile=256, interpret=True))
+        np.testing.assert_array_equal(a, b)

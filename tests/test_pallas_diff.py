@@ -336,3 +336,36 @@ def test_pallas_bwd_chunked_reduce_large_c():
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(a).max() + 1e-8
         assert np.abs(a - b).max() / scale < 3e-3
+
+
+def test_cluster_width_64_gradients_bitexact():
+    """The gradient engine at cluster_width=64 (irreg: C=157, the
+    in-kernel slot reduction's C<=256 extension) returns BIT-identical
+    loss and gradients to the width-128 engine: winner slots are
+    encoded cluster*128+lane for any width, so record/replay arithmetic
+    is unchanged and only the (pure repartitioning) sweep grouping
+    differs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracers_tpu import camera, scenes
+    from raytracers_tpu.grad.pallas_diff import make_render_pallas_diff
+
+    sc = scenes.irreg()
+    cam = camera(sc.look_from, sc.look_at, (0., 1., 0.), sc.fov, 1.0)
+    f128 = make_render_pallas_diff(16, 16, max_depth=2, tile=256,
+                                   interpret=True)
+    f64 = make_render_pallas_diff(16, 16, max_depth=2, tile=256,
+                                  interpret=True, cluster_width=64)
+
+    def loss(f, s):
+        img = f(s, cam)
+        return jnp.sum(img * img)
+
+    l1, g1 = jax.value_and_grad(lambda s: loss(f128, s))(sc.spheres)
+    l2, g2 = jax.value_and_grad(lambda s: loss(f64, s))(sc.spheres)
+    assert float(l1) == float(l2)
+    assert any(float(jnp.abs(a).max()) > 0 for a in jax.tree.leaves(g1))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -64,10 +64,15 @@ def main():
                                           [stats["ray_bounces"]])]
         slot = float(stats["slot_tests"])
         rb = float(stats["ray_bounces"])
-        # model: visit math + cull slab per executed tile-bounce
         tb = rb / tile                              # tile-bounces
-        cull_lane_ops = tb * CB * CR * tile * CULL_OPS_PER_ROW
         visit_ms = slot * OPS_PER_SLOT / lane_rate * 1e3
+        if "cull_rows" in stats:
+            # EXACT executed cull rows (round-5 counter: super-gated
+            # blocks that skip their (CR, T) slab no longer count)
+            cull_lane_ops = float(stats["cull_rows"]) * CULL_OPS_PER_ROW
+        else:
+            # upper-bound model: every block culled every tile-bounce
+            cull_lane_ops = tb * CB * CR * tile * CULL_OPS_PER_ROW
         cull_ms = cull_lane_ops / lane_rate * 1e3
         print(f"\n{name}: C={C} CR={CR} CB={CB} tile={tile} block={block} "
               f"schedule={sched} prefix={pref}")
