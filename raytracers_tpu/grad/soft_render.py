@@ -60,7 +60,19 @@ def soft_render(spheres: Spheres, origins, dirs, sigma: float = 3e-2,
     t = (-b - sq) / a                           # near root (smoothed)
     # behind-the-camera spheres must not contribute
     front = jax.nn.sigmoid(t / (gamma + 1e-8))
-    t_safe = jnp.maximum(t, 0.0)
+    # irrelevant spheres must not claim the softmax NORMALIZER: (a) a
+    # behind-camera sphere's t clamps to ~0, (b) a MISSED sphere's near
+    # root degenerates to its perpendicular-foot distance (sq ~ 0),
+    # often closer than the true hit.  Either way the nearest-logit slot
+    # goes to a sphere whose weight vis*front is ~0, every real
+    # candidate's exp(logit - max) underflows, and hit rays collapse to
+    # the epsilon (all-black, near-NaN quotient VJP) — any camera inside
+    # the scene bounds (rgbbox) triggered it.  Gate the softmin to
+    # front-facing spheres within the silhouette band's support
+    # (vis < ~2e-9 beyond 20 sigmas — their weight is zero regardless,
+    # so the where() boundary is gradient-invisible).
+    relevant = (t > 0.0) & (m > -20.0 * sigma * (r * r + 1e-8))
+    t_safe = jnp.where(relevant, t, jnp.float32(1e7))
 
     scale = jnp.max(jnp.abs(spheres.center)) + 1.0
     logits = -t_safe / (gamma * scale)
