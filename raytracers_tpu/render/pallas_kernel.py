@@ -1045,20 +1045,27 @@ def _megakernel(params_ref,               # SMEM (24,) f32
 def _count_sum(x):
     """Exact sum of per-lane executed-work counters.
 
-    The counters are integer-valued f32 per lane (each bounded by
-    rows-per-bounce x depth, well under 2^24, so exact); a plain f32
-    tree-sum over all tiles rounds once totals pass 2^24 — at
-    scene-scale e9-e12 slot-test totals the 'exact' claim behind the
-    VPU-utilization figure would silently degrade.  Sum each tile's
-    lanes in int32 (per-tile totals < ~1e8 < 2^31), split the per-tile
-    totals 16/15 bits and sum each half in int32 (exact for any
-    realistic tile count; lo-sum overflows only past ~32k tiles), and
-    combine — the ONLY rounding is the final f32 representation
-    (relative error <= 2^-24, vs accumulated tree rounding before)."""
-    pt = jnp.sum(x.astype(jnp.int32), axis=-1)        # per-tile, exact
-    hi = jnp.sum(pt // 65536)
-    lo = jnp.sum(pt % 65536)
-    return hi.astype(jnp.float32) * 65536.0 + lo.astype(jnp.float32)
+    The counters are integer-valued f32 per lane (each bounded well
+    under 2^31: slots tested by one ray over a render); a plain f32
+    tree-sum rounds once totals pass 2^24, and a naive int32 per-tile
+    lane-sum OVERFLOWS on heavy scene-scale tiles (soup-1M d5: ~9e8
+    mean per tile, >2^31 on dense tiles — it silently reported 0.45e9
+    of ~30e9 slot-tests).  Split each lane value 16/15 bits FIRST, sum
+    each half per tile in int32 (lo < 2^16 * T = 2^27; hi < 2^15 * T =
+    2^26 — exact), then reduce the per-tile halves across tiles with
+    the same 16/15 split (tile counts <= 2^15).  Every partial is an
+    exact int32; the ONLY rounding is the final f32 combine (relative
+    error <= 2^-23)."""
+    xi = x.astype(jnp.int32)
+    lane_lo = jnp.sum(xi & 0xFFFF, axis=-1)           # per-tile, exact
+    lane_hi = jnp.sum(xi >> 16, axis=-1)              # per-tile, exact
+
+    def red(pt):                                      # tiles -> f32, exact
+        lo = jnp.sum(pt & 0xFFFF)
+        hi = jnp.sum(pt >> 16)
+        return hi.astype(jnp.float32) * 65536.0 + lo.astype(jnp.float32)
+
+    return red(lane_hi) * 65536.0 + red(lane_lo)
 
 
 def render_pallas(scene: PallasScene, cam: Camera, width: int, height: int,
