@@ -369,3 +369,21 @@ def test_cluster_width_64_bitexact():
         b = np.asarray(render_pallas(ps64, cam, res, res, max_depth=depth,
                                      tile=256, interpret=True))
         np.testing.assert_array_equal(a, b)
+
+
+def test_count_sum_exact_at_scene_scale():
+    """_count_sum must stay exact (to final-f32 rounding) at soup-scale
+    totals: the naive int32 per-tile lane-sum overflowed on dense tiles
+    (>2^31 slot-tests per tile at soup-1M d5) and silently reported
+    0.45e9 of 133.6e9 — compare against an f64 oracle at e12 scale."""
+    import numpy as np
+
+    from raytracers_tpu.render.pallas_kernel import _count_sum
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 3_000_000, size=(489, 2048)).astype(np.float32)
+    want = float(x.astype(np.float64).sum())        # ~1.5e12
+    got = float(_count_sum(x))
+    assert abs(got - want) / want < 3e-7, (got, want)
+    # and small totals are bit-exact
+    y = np.full((3, 8), 7.0, np.float32)
+    assert float(_count_sum(y)) == 168.0
